@@ -1,0 +1,198 @@
+"""Batched Goldilocks field arithmetic on device (JAX, uint64 lanes).
+
+All functions are elementwise over `jnp.uint64` arrays and keep every value in
+canonical form (< p). They are pure and jit-friendly: static shapes, no Python
+control flow on traced values. XLA lowers uint64 to 32-bit pairs on TPU; the
+hottest paths (NTT butterflies, Poseidon rounds) additionally have fused Pallas
+kernels in `plonky2_tpu.ops` built on the same limb algebra.
+
+Capability parity: reference field/src/goldilocks_field.rs (add/sub with
+EPSILON overflow correction :245-303, mul via reduce128 :402-415) — re-derived
+for 32-bit-limb vector lanes rather than translated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import scalar
+
+U64 = jnp.uint64
+
+P = np.uint64(scalar.P)
+EPSILON = np.uint64(scalar.EPSILON)  # 2^32 - 1 == 2^64 mod p
+MASK32 = np.uint64(0xFFFFFFFF)
+_32 = np.uint64(32)
+ZERO64 = np.uint64(0)
+
+
+def to_field(x) -> jax.Array:
+    """Lift numpy/python ints (arbitrary u64 values) to canonical field elements."""
+    arr = jnp.asarray(np.asarray(x, dtype=np.uint64))
+    return canonicalize(arr)
+
+
+def canonicalize(x: jax.Array) -> jax.Array:
+    """Map arbitrary u64 bit patterns to canonical residues (one cond-sub).
+
+    Valid for x < 2p (true for every intermediate this module produces) and,
+    because p > 2^63, a single conditional subtraction also canonicalizes any
+    u64 (x - p < p whenever x >= p).
+    """
+    return jnp.where(x >= P, x - P, x)
+
+
+def add(x: jax.Array, y: jax.Array) -> jax.Array:
+    """x + y mod p; canonical in, canonical out."""
+    s = x + y  # wraps mod 2^64
+    over = s < x
+    # overflow: s = x+y-2^64, and x+y-p = s + EPSILON (< p, no second overflow)
+    s = jnp.where(over, s + EPSILON, s)
+    return canonicalize(s)
+
+
+def sub(x: jax.Array, y: jax.Array) -> jax.Array:
+    d = x - y  # wraps mod 2^64
+    borrow = x < y
+    # borrow: d = x-y+2^64, want x-y+p = d - EPSILON
+    return jnp.where(borrow, d - EPSILON, d)
+
+
+def neg(x: jax.Array) -> jax.Array:
+    return jnp.where(x == ZERO64, x, P - x)
+
+
+def mul(x: jax.Array, y: jax.Array) -> jax.Array:
+    """x * y mod p via 32-bit limb products and reduce128."""
+    xl = x & MASK32
+    xh = x >> _32
+    yl = y & MASK32
+    yh = y >> _32
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    # 128-bit product = ll + (lh + hl) << 32 + hh << 64, carried into (lo, hi)
+    mid = (ll >> _32) + (lh & MASK32) + (hl & MASK32)  # < 3 * 2^32, exact
+    lo = (ll & MASK32) | ((mid & MASK32) << _32)
+    hi = hh + (lh >> _32) + (hl >> _32) + (mid >> _32)
+    return reduce128(lo, hi)
+
+
+def reduce128(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Reduce lo + hi*2^64 mod p (hi, lo arbitrary u64), canonical output.
+
+    Uses 2^64 = EPSILON and 2^96 = -1 (mod p): value = lo - hi_hi + hi_lo*EPSILON.
+    """
+    hi_hi = hi >> _32
+    hi_lo = hi & MASK32
+    t0 = lo - hi_hi
+    borrow = lo < hi_hi
+    t0 = jnp.where(borrow, t0 - EPSILON, t0)
+    t1 = hi_lo * EPSILON  # < 2^64
+    t2 = t0 + t1
+    over = t2 < t1
+    t2 = jnp.where(over, t2 + EPSILON, t2)
+    return canonicalize(t2)
+
+
+def square(x: jax.Array) -> jax.Array:
+    return mul(x, x)
+
+
+def mul_scalar(x: jax.Array, c: int) -> jax.Array:
+    return mul(x, jnp.asarray(np.uint64(c)))
+
+
+def exp_u64(x: jax.Array, e: int) -> jax.Array:
+    """x^e for a static Python-int exponent (square-and-multiply, unrolled)."""
+    result = None
+    base = x
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    if result is None:
+        return jnp.full_like(x, np.uint64(1))
+    return result
+
+
+def inverse(x: jax.Array) -> jax.Array:
+    """Batched inverse via x^(p-2).
+
+    On TPU a fully-vectorized 64-step pow ladder beats the Montgomery-trick
+    serial scan the reference uses (field/src/types.rs:133-223) — no
+    sequential dependency, no host sync. inverse(0) returns 0 (callers that
+    care must check).
+    """
+    return exp_u64(x, scalar.P - 2)
+
+
+def exp_power_of_2(x: jax.Array, k: int) -> jax.Array:
+    for _ in range(k):
+        x = square(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Quadratic extension F_p[X]/(X^2 - 7), elementwise over a trailing axis pair
+# or over separate (a0, a1) arrays. We use separate arrays: better layout for
+# XLA (no gather on the minor-most dim).
+# ---------------------------------------------------------------------------
+
+W2 = np.uint64(7)
+
+
+def ext2_add(a, b):
+    return add(a[0], b[0]), add(a[1], b[1])
+
+
+def ext2_sub(a, b):
+    return sub(a[0], b[0]), sub(a[1], b[1])
+
+
+def ext2_mul(a, b):
+    """(a0 + a1 X)(b0 + b1 X) = a0 b0 + 7 a1 b1 + (a0 b1 + a1 b0) X."""
+    a0, a1 = a
+    b0, b1 = b
+    c0 = add(mul(a0, b0), mul_scalar(mul(a1, b1), 7))
+    c1 = add(mul(a0, b1), mul(a1, b0))
+    return c0, c1
+
+
+def ext2_scalar_mul(c, a):
+    return mul(c, a[0]), mul(c, a[1])
+
+
+def ext2_square(a):
+    return ext2_mul(a, a)
+
+
+def ext2_neg(a):
+    return neg(a[0]), neg(a[1])
+
+
+def ext2_inverse(a):
+    """a^-1 = conj(a) / N(a), N(a) = a0^2 - 7 a1^2."""
+    a0, a1 = a
+    norm = sub(square(a0), mul_scalar(square(a1), 7))
+    ninv = inverse(norm)
+    return mul(a0, ninv), mul(neg(a1), ninv)
+
+
+# ---------------------------------------------------------------------------
+# Host-side constant helpers (numpy, python ints) for building twiddle tables.
+# ---------------------------------------------------------------------------
+
+def np_powers(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] as numpy uint64 (host)."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * base) % scalar.P
+    return out

@@ -1,0 +1,133 @@
+"""Batched NTT / iNTT / coset LDE over Goldilocks (device, jit-friendly).
+
+Semantics match the reference (field/src/fft.rs): `fft` maps coefficients to
+evaluations over the order-n two-adic subgroup in natural order
+(values[i] = P(g^i)); `ifft` is its inverse; `coset_fft` evaluates on
+shift * <g>; LDE zero-pads by `rate_bits` and exploits the zero tail so the
+first `rate_bits` stages collapse to a broadcast (reference fft.rs:165-202) —
+re-derived here as `repeat` of the bit-reversed short input.
+
+Shape convention: transform along the LAST axis; leading axes are batch
+(typically [num_polys, n]) — all 100+ column polynomials of a commitment
+transform in one fused XLA program. Stages are unrolled at trace time
+(static shapes), so each (lg_n, batch) signature compiles once.
+
+Twiddle/permutation tables are precomputed host-side per size and closed over
+as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import scalar as fs
+
+
+@functools.lru_cache(maxsize=None)
+def bit_reverse_perm(lg_n: int) -> np.ndarray:
+    """Permutation p with p[i] = reverse of i's lg_n-bit representation."""
+    n = 1 << lg_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(lg_n):
+        rev |= (((idx >> b) & 1) << (lg_n - 1 - b)).astype(np.int32)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(lg_n: int) -> tuple[np.ndarray, ...]:
+    """Twiddle row per stage s=1..lg_n: [g_{2^s}^j for j < 2^(s-1)]."""
+    rows = []
+    for s in range(1, lg_n + 1):
+        root = fs.primitive_root_of_unity(s)
+        rows.append(g.np_powers(root, 1 << (s - 1)))
+    return tuple(rows)
+
+
+def _butterflies(v: jax.Array, lg_n: int, start_stage: int) -> jax.Array:
+    """Run DIT stages start_stage+1 .. lg_n on bit-reversed-order input."""
+    n = 1 << lg_n
+    batch = v.shape[:-1]
+    tw = _stage_twiddles(lg_n)
+    for s in range(start_stage + 1, lg_n + 1):
+        half = 1 << (s - 1)
+        w = jnp.asarray(tw[s - 1])  # [half]
+        vv = v.reshape(batch + (n >> s, 2, half))
+        even = vv[..., 0, :]
+        odd = vv[..., 1, :]
+        t = g.mul(odd, w)
+        v = jnp.stack([g.add(even, t), g.sub(even, t)], axis=-2).reshape(batch + (n,))
+    return v
+
+
+def fft(coeffs: jax.Array) -> jax.Array:
+    """coefficients -> evaluations on <g_n>, natural order. Last-axis length 2^k."""
+    n = coeffs.shape[-1]
+    lg_n = n.bit_length() - 1
+    assert 1 << lg_n == n, "length must be a power of two"
+    v = jnp.take(coeffs, jnp.asarray(bit_reverse_perm(lg_n)), axis=-1)
+    return _butterflies(v, lg_n, 0)
+
+
+def ifft(values: jax.Array) -> jax.Array:
+    """evaluations -> coefficients (inverse of fft).
+
+    ifft(a)[i] = fft(a)[(n-i) mod n] / n (reference field/src/fft.rs:64-91).
+    """
+    n = values.shape[-1]
+    f = fft(values)
+    rev = jnp.roll(jnp.flip(f, axis=-1), 1, axis=-1)  # rev[i] = f[(n-i) % n]
+    n_inv = fs.inverse(n % fs.P)
+    return g.mul(rev, jnp.asarray(np.uint64(n_inv)))
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers(shift: int, n: int, inverse: bool = False) -> np.ndarray:
+    base = fs.inverse(shift) if inverse else shift
+    return g.np_powers(base, n)
+
+
+def coset_fft(coeffs: jax.Array, shift: int | None = None) -> jax.Array:
+    """Evaluate on the coset shift * <g_n> (default shift = field generator)."""
+    if shift is None:
+        shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    n = coeffs.shape[-1]
+    scaled = g.mul(coeffs, jnp.asarray(_shift_powers(shift, n)))
+    return fft(scaled)
+
+
+def coset_ifft(values: jax.Array, shift: int | None = None) -> jax.Array:
+    if shift is None:
+        shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    n = values.shape[-1]
+    coeffs = ifft(values)
+    return g.mul(coeffs, jnp.asarray(_shift_powers(shift, n, inverse=True)))
+
+
+def lde_fft(coeffs: jax.Array, rate_bits: int, shift: int | None = None) -> jax.Array:
+    """Low-degree extension: evaluate degree<m poly on (shifted) subgroup of
+    size m << rate_bits.
+
+    Zero-tail optimization: the padded input's first `rate_bits` DIT stages
+    only duplicate values, so we bit-reverse the m coefficients and repeat
+    each 2^rate_bits times, then run the remaining stages.
+    """
+    m = coeffs.shape[-1]
+    lg_m = m.bit_length() - 1
+    assert 1 << lg_m == m
+    lg_n = lg_m + rate_bits
+    if shift is not None and shift != 1:
+        coeffs = g.mul(coeffs, jnp.asarray(_shift_powers(shift, m)))
+    v = jnp.take(coeffs, jnp.asarray(bit_reverse_perm(lg_m)), axis=-1)
+    v = jnp.repeat(v, 1 << rate_bits, axis=-1)
+    return _butterflies(v, lg_n, rate_bits)
+
+
+def coset_lde(coeffs: jax.Array, rate_bits: int) -> jax.Array:
+    """LDE onto the g-shifted coset (the FRI evaluation domain)."""
+    return lde_fft(coeffs, rate_bits, shift=fs.MULTIPLICATIVE_GROUP_GENERATOR)

@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The real TPU (axon tunnel) has high per-compile latency; tests validate
+correctness and sharding semantics on CPU. TPU execution is exercised by
+bench.py and the driver's compile checks.
+"""
+
+import os
+
+# Must be set before the CPU client initializes.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import plonky2_tpu  # noqa: F401  (enables x64)
