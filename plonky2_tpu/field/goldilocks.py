@@ -184,6 +184,54 @@ def ext2_inverse(a):
     return mul(a0, ninv), mul(neg(a1), ninv)
 
 
+def sum_mod(x: jax.Array, axis: int = 0) -> jax.Array:
+    """Modular sum along an axis via pairwise tree reduction (log depth).
+
+    jnp.sum would wrap mod 2^64; this folds with the field add instead.
+    """
+    n = x.shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(x, half, 2 * half, axis=axis)
+        s = add(lo, hi)
+        if n % 2:
+            rest = jax.lax.slice_in_dim(x, 2 * half, n, axis=axis)
+            s = jnp.concatenate([add(jax.lax.slice_in_dim(s, 0, 1, axis=axis), rest),
+                                 jax.lax.slice_in_dim(s, 1, half, axis=axis)], axis=axis)
+        x = s
+        n = x.shape[axis]
+    return jnp.squeeze(x, axis=axis)
+
+
+def ext2_sum_mod(a, axis: int = 0):
+    return sum_mod(a[0], axis), sum_mod(a[1], axis)
+
+
+def ext2_powers(z, n: int):
+    """[1, z, z^2, ..., z^(n-1)] for an extension scalar z = (z0, z1).
+
+    Log-doubling: p[k+2^s] = p[k] * p[2^s]; log2(n) vectorized ext muls.
+    Returns arrays (p0, p1) each of length n.
+    """
+    def _u64(x):
+        return x if isinstance(x, jax.Array) else jnp.asarray(np.uint64(x))
+
+    if isinstance(z, (tuple, list)):
+        z0, z1 = _u64(z[0]), _u64(z[1])
+    else:
+        z0, z1 = _u64(z), jnp.zeros((), dtype=jnp.uint64)
+    p0 = jnp.concatenate([jnp.ones((1,), dtype=jnp.uint64), z0[None]])[: max(n, 1)]
+    p1 = jnp.concatenate([jnp.zeros((1,), dtype=jnp.uint64), z1[None]])[: max(n, 1)]
+    while p0.shape[0] < n:
+        top = (p0[-1], p1[-1])
+        step = ext2_mul(top, (z0, z1))  # p[len] = p[len-1] * z
+        q0, q1 = ext2_mul((p0, p1), (step[0], step[1]))
+        p0 = jnp.concatenate([p0, q0])[:n]
+        p1 = jnp.concatenate([p1, q1])[:n]
+    return p0, p1
+
+
 # ---------------------------------------------------------------------------
 # Host-side constant helpers (numpy, python ints) for building twiddle tables.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,222 @@
+"""FRI prover: commit-phase folding, PoW grind, query rounds.
+
+Reference: fri/prover.rs:24-258. Device/host split: folding, re-FFTs, Merkle
+builds and the PoW scan are jitted device programs; the challenger transcript
+(one cap + beta per fold step) is host-side — the same log-depth sync structure
+as the reference's sequential fold loop.
+
+Coefficient arrays are kept TRIMMED to their nonzero prefix (the reference
+carries the zero tail and truncates at the end, fri/prover.rs:139-141); folding
+the zero tail yields zeros, so the results are identical and every re-FFT gets
+the zero-tail LDE fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import ntt
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.fri.proof import (
+    FriInitialTreeProof,
+    FriProof,
+    FriQueryRound,
+    FriQueryStep,
+)
+from plonky2_tpu.hash import poseidon as ps
+from plonky2_tpu.hash.merkle import MerkleTree
+
+
+def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
+              final_poly_coeff_len=None, max_num_query_steps=None) -> FriProof:
+    """final_coeffs: ext coeff arrays (c0, c1), length 2^degree_bits (trimmed)."""
+    n = fri_params.lde_size
+
+    trees, final_poly = _fri_committed_trees(
+        final_coeffs, challenger, fri_params, final_poly_coeff_len, max_num_query_steps
+    )
+
+    pow_witness = fri_proof_of_work(challenger, fri_params.config)
+
+    query_round_proofs = _fri_prover_query_rounds(
+        initial_merkle_trees, trees, challenger, n, fri_params
+    )
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap for t in trees],
+        query_round_proofs=query_round_proofs,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _fold_step_leaves(values, arity_bits, lg_len):
+    """Bit-reverse values, chunk into arity cosets, flatten ext -> leaves."""
+    v0, v1 = values
+    arity = 1 << arity_bits
+    perm = jnp.asarray(ntt.bit_reverse_perm(lg_len))
+    v0 = jnp.take(v0, perm)
+    v1 = jnp.take(v1, perm)
+    L = v0.shape[0]
+    # leaf row = [e0.0, e0.1, e1.0, e1.1, ...] (flatten of ext elements)
+    return jnp.stack([v0, v1], axis=-1).reshape(L // arity, 2 * arity)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _fold_coeffs_and_relde(coeffs, beta, arity_bits, rate_bits_shift):
+    """Fold coeffs by beta per arity chunk; re-LDE on the next coset.
+
+    rate_bits_shift = (rate_bits, next_shift) both static Python values.
+    """
+    rate_bits, shift = rate_bits_shift
+    c0, c1 = coeffs
+    arity = 1 << arity_bits
+    m = c0.shape[0] // arity
+    c0 = c0.reshape(m, arity)
+    c1 = c1.reshape(m, arity)
+    acc = (c0[:, arity - 1], c1[:, arity - 1])
+    b = (beta[0], beta[1])
+    for j in range(arity - 2, -1, -1):
+        acc = g.ext2_add(g.ext2_mul(acc, b), (c0[:, j], c1[:, j]))
+    new_coeffs = acc
+    v0 = ntt.lde_fft(new_coeffs[0], rate_bits, shift=shift)
+    v1 = ntt.lde_fft(new_coeffs[1], rate_bits, shift=shift)
+    return new_coeffs, (v0, v1)
+
+
+def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
+                         max_num_query_steps):
+    rate_bits = fri_params.config.rate_bits
+    cap_height = fri_params.config.cap_height
+    shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+
+    values = _initial_lde(coeffs, rate_bits)
+
+    trees = []
+    for arity_bits in fri_params.reduction_arity_bits:
+        lg_len = values[0].shape[0].bit_length() - 1
+        leaves = _fold_step_leaves(values, arity_bits, lg_len)
+        tree = MerkleTree(leaves, cap_height)
+        trees.append(tree)
+        challenger.observe_cap(tree.cap)
+        beta = challenger.get_extension_challenge(2)
+        shift = fs.exp(shift, 1 << arity_bits)
+        coeffs, values = _fold_coeffs_and_relde(
+            coeffs, g.to_field(list(beta)), arity_bits, (rate_bits, shift)
+        )
+
+    # dummy challenges for unified-shape recursion (reference fri/prover.rs:119-131)
+    if max_num_query_steps is not None:
+        zero_cap = [0] * ((1 << cap_height) * 4)
+        for _ in range(len(fri_params.reduction_arity_bits), max_num_query_steps):
+            challenger.observe_elements(zero_cap)
+            challenger.get_extension_challenge(2)
+
+    c0, c1 = np.asarray(coeffs[0]), np.asarray(coeffs[1])
+    final_poly = [(int(a), int(b)) for a, b in zip(c0, c1)]
+    for coeff in final_poly:
+        challenger.observe_extension_element(coeff)
+    if final_poly_coeff_len is not None:
+        for _ in range(len(final_poly), final_poly_coeff_len):
+            challenger.observe_extension_element((0, 0))
+
+    return trees, final_poly
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _initial_lde(coeffs, rate_bits):
+    shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    return (ntt.lde_fft(coeffs[0], rate_bits, shift=shift),
+            ntt.lde_fft(coeffs[1], rate_bits, shift=shift))
+
+
+# -- proof of work ----------------------------------------------------------
+
+_GRIND_CHUNK = 1 << 17
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _grind_chunk(intermediate, witness_pos, start, pow_bits):
+    """Search candidates [start, start+CHUNK) for pow_bits leading zeros in the
+    duplexed response. Returns (found_any, first_candidate)."""
+    cand = start + jax.lax.broadcasted_iota(jnp.uint64, (_GRIND_CHUNK, 1), 0)[:, 0]
+    states = jnp.broadcast_to(intermediate, (_GRIND_CHUNK, 12))
+    states = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (_GRIND_CHUNK, 12), 1) == witness_pos,
+        cand[:, None],
+        states,
+    )
+    out = ps.permute_dev(states)
+    resp = out[:, 7]  # challenger pops state[RATE-1] first
+    threshold = np.uint64(1) << np.uint64(64 - pow_bits)
+    ok = resp < threshold
+    found = jnp.any(ok)
+    idx = jnp.argmax(ok)
+    return found, cand[idx]
+
+
+def fri_proof_of_work(challenger, config) -> int:
+    """Grind for a witness making the next challenge have pow_bits leading
+    zeros (reference fri/prover.rs:152-202). Any valid witness verifies."""
+    pow_bits = config.proof_of_work_bits
+    intermediate = list(challenger.sponge_state)
+    witness_pos = len(challenger.input_buffer)
+    assert witness_pos < 12
+    for i, x in enumerate(challenger.input_buffer):
+        intermediate[i] = x
+
+    inter_dev = g.to_field(intermediate)
+    start = 0
+    while True:
+        found, cand = _grind_chunk(
+            inter_dev, witness_pos, jnp.asarray(np.uint64(start)), pow_bits
+        )
+        if bool(found):
+            pow_witness = int(cand)
+            break
+        start += _GRIND_CHUNK
+        assert start < fs.P, "Proof of work failed (searched entire field)"
+
+    challenger.observe_element(pow_witness)
+    pow_response = challenger.get_challenge()
+    assert pow_response < (1 << (64 - pow_bits))
+    return pow_witness
+
+
+# -- query rounds -----------------------------------------------------------
+
+def _fri_prover_query_rounds(initial_merkle_trees, trees, challenger, n, fri_params):
+    indices = [c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)]
+    return [
+        _fri_prover_query_round(initial_merkle_trees, trees, x, fri_params)
+        for x in indices
+    ]
+
+
+def _unflatten(flat: list[int]) -> list[tuple]:
+    return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+
+
+def _fri_prover_query_round(initial_merkle_trees, trees, x_index, fri_params):
+    initial_proof = [(t.leaf(x_index), t.prove(x_index)) for t in initial_merkle_trees]
+    steps = []
+    for i, tree in enumerate(trees):
+        arity_bits = fri_params.reduction_arity_bits[i]
+        coset_index = x_index >> arity_bits
+        steps.append(
+            FriQueryStep(
+                evals=_unflatten(tree.leaf(coset_index)),
+                merkle_proof=tree.prove(coset_index),
+            )
+        )
+        x_index = coset_index
+    return FriQueryRound(
+        initial_trees_proof=FriInitialTreeProof(evals_proofs=initial_proof),
+        steps=steps,
+    )

@@ -1,0 +1,134 @@
+"""Generic field-operation backends for gate constraint evaluation.
+
+Each gate's constraints are written ONCE against this ops protocol and then
+instantiated three ways:
+  - `HostExtOps`: scalar F_{p^2} tuples — verifier evaluation at zeta
+    (reference `eval_unfiltered`);
+  - `DeviceBaseOps`: batched uint64 arrays over the whole quotient sub-LDE
+    domain — prover hot loop (reference `eval_unfiltered_base_batch`, but one
+    fused XLA program over all points instead of 32-point SIMD chunks);
+  - `CircuitOps` (recursion): emits circuit targets — the in-circuit dual
+    (reference `eval_unfiltered_circuit`). Constraint ORDER is identical by
+    construction, which the reference must maintain by hand
+    (gates/gate.rs:122-132).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import scalar as fs
+
+
+class HostExtOps:
+    """Values are D=2 extension tuples of Python ints."""
+
+    def constant(self, c: int):
+        return fs.ext_from_base(c % fs.P, 2)
+
+    def zero(self):
+        return (0, 0)
+
+    def one(self):
+        return (1, 0)
+
+    def add(self, a, b):
+        return fs.ext_add(a, b)
+
+    def sub(self, a, b):
+        return fs.ext_sub(a, b)
+
+    def mul(self, a, b):
+        return fs.ext_mul(a, b)
+
+    def square(self, a):
+        return fs.ext_mul(a, a)
+
+    def neg(self, a):
+        return fs.ext_neg(a)
+
+    def add_const(self, a, c: int):
+        return (fs.add(a[0], c % fs.P), a[1])
+
+    def mul_const(self, c: int, a):
+        return fs.ext_scalar_mul(c % fs.P, a)
+
+
+class DeviceBaseOps:
+    """Values are uint64 jnp arrays (base field), batched over domain points."""
+
+    def constant(self, c: int):
+        return jnp.asarray(np.uint64(c % fs.P))
+
+    def zero(self):
+        return jnp.zeros((), dtype=jnp.uint64)
+
+    def one(self):
+        return jnp.ones((), dtype=jnp.uint64)
+
+    def add(self, a, b):
+        return g.add(a, b)
+
+    def sub(self, a, b):
+        return g.sub(a, b)
+
+    def mul(self, a, b):
+        return g.mul(a, b)
+
+    def square(self, a):
+        return g.square(a)
+
+    def neg(self, a):
+        return g.neg(a)
+
+    def add_const(self, a, c: int):
+        return g.add(a, self.constant(c))
+
+    def mul_const(self, c: int, a):
+        return g.mul(self.constant(c), a)
+
+
+class HostBaseOps:
+    """Values are scalar Python ints (base field) — witness generation."""
+
+    def constant(self, c: int):
+        return c % fs.P
+
+    def zero(self):
+        return 0
+
+    def one(self):
+        return 1
+
+    def add(self, a, b):
+        return fs.add(a, b)
+
+    def sub(self, a, b):
+        return fs.sub(a, b)
+
+    def mul(self, a, b):
+        return fs.mul(a, b)
+
+    def square(self, a):
+        return fs.mul(a, a)
+
+    def neg(self, a):
+        return fs.neg(a)
+
+    def add_const(self, a, c: int):
+        return fs.add(a, c % fs.P)
+
+    def mul_const(self, c: int, a):
+        return fs.mul(c % fs.P, a)
+
+
+class EvaluationVars:
+    """local_constants / local_wires are sequences of ops-domain values;
+    public_inputs_hash is 4 base ints (lifted on access)."""
+
+    def __init__(self, local_constants, local_wires, public_inputs_hash):
+        self.local_constants = local_constants
+        self.local_wires = local_wires
+        self.public_inputs_hash = public_inputs_hash

@@ -1,0 +1,281 @@
+"""PoseidonGate: one full 30-round Poseidon permutation per row, 135 wires,
+with Merkle-path swap support (reference gates/poseidon.rs).
+
+The constraint system is written against the fast partial-round decomposition
+(w-hat/v sparse MDS, reference hash/poseidon.rs:506-628) — the wire layout and
+constraint order are consensus-critical and must match the reference exactly.
+Layer functions are defined once over the generic ops protocol and reused by
+the verifier (ext), the device batch evaluator, and the witness generator
+(scalar base)."""
+
+from __future__ import annotations
+
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.hash.poseidon_constants import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+    N_PARTIAL_ROUNDS,
+    SPONGE_WIDTH,
+)
+from plonky2_tpu.hash.poseidon_fast_partial import (
+    FAST_PARTIAL_FIRST_ROUND_CONSTANT,
+    FAST_PARTIAL_ROUND_CONSTANTS,
+    FAST_PARTIAL_ROUND_INITIAL_MATRIX,
+    FAST_PARTIAL_ROUND_VS,
+    FAST_PARTIAL_ROUND_W_HATS,
+)
+
+W = SPONGE_WIDTH
+
+
+# -- generic-ops Poseidon layers (fast partial-round form) -------------------
+
+def constant_layer(ops, state, round_ctr):
+    return [ops.add_const(state[i], ALL_ROUND_CONSTANTS[i + W * round_ctr]) for i in range(W)]
+
+
+def sbox_monomial(ops, x):
+    x2 = ops.square(x)
+    x3 = ops.mul(x2, x)
+    x6 = ops.square(x3)
+    return ops.mul(x6, x)
+
+
+def sbox_layer(ops, state):
+    return [sbox_monomial(ops, x) for x in state]
+
+
+def mds_row_shf(ops, r, v):
+    acc = ops.zero()
+    for i in range(W):
+        acc = ops.add(acc, ops.mul_const(MDS_MATRIX_CIRC[i], v[(i + r) % W]))
+    acc = ops.add(acc, ops.mul_const(MDS_MATRIX_DIAG[r], v[r]))
+    return acc
+
+
+def mds_layer(ops, state):
+    return [mds_row_shf(ops, r, state) for r in range(W)]
+
+
+def partial_first_constant_layer(ops, state):
+    return [ops.add_const(state[i], FAST_PARTIAL_FIRST_ROUND_CONSTANT[i]) for i in range(W)]
+
+
+def mds_partial_layer_init(ops, state):
+    result = [state[0]] + [ops.zero()] * (W - 1)
+    for r in range(1, W):
+        for c in range(1, W):
+            t = FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1]
+            result[c] = ops.add(result[c], ops.mul_const(t, state[r]))
+    return result
+
+
+def mds_partial_layer_fast(ops, state, r):
+    mds0to0 = MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]
+    d = ops.mul_const(mds0to0, state[0])
+    for i in range(1, W):
+        d = ops.add(d, ops.mul_const(FAST_PARTIAL_ROUND_W_HATS[r][i - 1], state[i]))
+    result = [d]
+    for i in range(1, W):
+        result.append(ops.add(ops.mul_const(FAST_PARTIAL_ROUND_VS[r][i - 1], state[0]), state[i]))
+    return result
+
+
+class PoseidonGate(Gate):
+    WIRE_SWAP = 2 * W
+    START_DELTA = 2 * W + 1
+    START_FULL_0 = START_DELTA + 4
+    START_PARTIAL = START_FULL_0 + W * (HALF_N_FULL_ROUNDS - 1)
+    START_FULL_1 = START_PARTIAL + N_PARTIAL_ROUNDS
+    END = START_FULL_1 + W * HALF_N_FULL_ROUNDS
+
+    @staticmethod
+    def wire_input(i):
+        return i
+
+    @staticmethod
+    def wire_output(i):
+        return W + i
+
+    @classmethod
+    def wire_delta(cls, i):
+        assert i < 4
+        return cls.START_DELTA + i
+
+    @classmethod
+    def wire_full_sbox_0(cls, round, i):
+        assert 0 < round < HALF_N_FULL_ROUNDS
+        return cls.START_FULL_0 + W * (round - 1) + i
+
+    @classmethod
+    def wire_partial_sbox(cls, round):
+        assert round < N_PARTIAL_ROUNDS
+        return cls.START_PARTIAL + round
+
+    @classmethod
+    def wire_full_sbox_1(cls, round, i):
+        assert round < HALF_N_FULL_ROUNDS
+        return cls.START_FULL_1 + W * round + i
+
+    def id(self) -> str:
+        return f"PoseidonGate(PhantomData<plonky2_field::goldilocks_field::GoldilocksField>)<WIDTH={W}>"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        wires = vars.local_wires
+        constraints = []
+
+        swap = wires[self.WIRE_SWAP]
+        constraints.append(ops.mul(swap, ops.add_const(swap, (-1))))
+
+        for i in range(4):
+            lhs = wires[self.wire_input(i)]
+            rhs = wires[self.wire_input(i + 4)]
+            delta = wires[self.wire_delta(i)]
+            constraints.append(ops.sub(ops.mul(swap, ops.sub(rhs, lhs)), delta))
+
+        state = [None] * W
+        for i in range(4):
+            delta = wires[self.wire_delta(i)]
+            state[i] = ops.add(wires[self.wire_input(i)], delta)
+            state[i + 4] = ops.sub(wires[self.wire_input(i + 4)], delta)
+        for i in range(8, W):
+            state[i] = wires[self.wire_input(i)]
+
+        round_ctr = 0
+        # first full rounds
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            if r != 0:
+                for i in range(W):
+                    sbox_in = wires[self.wire_full_sbox_0(r, i)]
+                    constraints.append(ops.sub(state[i], sbox_in))
+                    state[i] = sbox_in
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        # partial rounds (fast form)
+        state = partial_first_constant_layer(ops, state)
+        state = mds_partial_layer_init(ops, state)
+        for r in range(N_PARTIAL_ROUNDS - 1):
+            sbox_in = wires[self.wire_partial_sbox(r)]
+            constraints.append(ops.sub(state[0], sbox_in))
+            s0 = sbox_monomial(ops, sbox_in)
+            s0 = ops.add_const(s0, FAST_PARTIAL_ROUND_CONSTANTS[r])
+            state = mds_partial_layer_fast(ops, [s0] + state[1:], r)
+        sbox_in = wires[self.wire_partial_sbox(N_PARTIAL_ROUNDS - 1)]
+        constraints.append(ops.sub(state[0], sbox_in))
+        s0 = sbox_monomial(ops, sbox_in)
+        state = mds_partial_layer_fast(ops, [s0] + state[1:], N_PARTIAL_ROUNDS - 1)
+        round_ctr += N_PARTIAL_ROUNDS
+
+        # second full rounds
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            for i in range(W):
+                sbox_in = wires[self.wire_full_sbox_1(r, i)]
+                constraints.append(ops.sub(state[i], sbox_in))
+                state[i] = sbox_in
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        for i in range(W):
+            constraints.append(ops.sub(state[i], wires[self.wire_output(i)]))
+
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [PoseidonGenerator(row)]
+
+    def num_wires(self) -> int:
+        return self.END
+
+    def num_constants(self) -> int:
+        return 0
+
+    def degree(self) -> int:
+        return 7
+
+    def num_constraints(self) -> int:
+        return (
+            1 + 4
+            + W * (HALF_N_FULL_ROUNDS - 1)
+            + N_PARTIAL_ROUNDS
+            + W * HALF_N_FULL_ROUNDS
+            + W
+        )
+
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.gates.ops import HostBaseOps
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import Wire
+
+
+class PoseidonGenerator(SimpleGenerator):
+    """Fills swap-deltas, per-round S-box input wires and outputs
+    (reference gates/poseidon.rs PoseidonGenerator)."""
+
+    def __init__(self, row: int):
+        self.row = row
+
+    def dependencies(self):
+        return [Wire(self.row, PoseidonGate.wire_input(i)) for i in range(W)] + [
+            Wire(self.row, PoseidonGate.WIRE_SWAP)
+        ]
+
+    def run_once(self, witness, out):
+        ops = HostBaseOps()
+        row = self.row
+        w = lambda col: witness.get_target(Wire(row, col))
+
+        inputs = [w(PoseidonGate.wire_input(i)) for i in range(W)]
+        swap = w(PoseidonGate.WIRE_SWAP)
+        assert swap in (0, 1)
+
+        for i in range(4):
+            delta = fs.mul(swap, fs.sub(inputs[i + 4], inputs[i]))
+            out.set_target(Wire(row, PoseidonGate.wire_delta(i)), delta)
+
+        if swap == 1:
+            for i in range(4):
+                inputs[i], inputs[i + 4] = inputs[i + 4], inputs[i]
+
+        state = list(inputs)
+        round_ctr = 0
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            if r != 0:
+                for i in range(W):
+                    out.set_target(Wire(row, PoseidonGate.wire_full_sbox_0(r, i)), state[i])
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        state = partial_first_constant_layer(ops, state)
+        state = mds_partial_layer_init(ops, state)
+        for r in range(N_PARTIAL_ROUNDS - 1):
+            out.set_target(Wire(row, PoseidonGate.wire_partial_sbox(r)), state[0])
+            s0 = sbox_monomial(ops, state[0])
+            s0 = ops.add_const(s0, FAST_PARTIAL_ROUND_CONSTANTS[r])
+            state = mds_partial_layer_fast(ops, [s0] + state[1:], r)
+        out.set_target(
+            Wire(row, PoseidonGate.wire_partial_sbox(N_PARTIAL_ROUNDS - 1)), state[0]
+        )
+        s0 = sbox_monomial(ops, state[0])
+        state = mds_partial_layer_fast(ops, [s0] + state[1:], N_PARTIAL_ROUNDS - 1)
+        round_ctr += N_PARTIAL_ROUNDS
+
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            for i in range(W):
+                out.set_target(Wire(row, PoseidonGate.wire_full_sbox_1(r, i)), state[i])
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        for i in range(W):
+            out.set_target(Wire(row, PoseidonGate.wire_output(i)), state[i])

@@ -1,0 +1,131 @@
+"""Merkle-cap trees with vectorized Poseidon layer hashing.
+
+The reference builds per-subtree with rayon joins and an interleaved digest
+buffer (hash/merkle_tree.rs:50-148). The TPU-native dual: every tree level is
+ONE batched Poseidon call over all nodes of that level ([nodes, 12] lanes), a
+log-depth sequence of fused XLA programs — no recursion, no interleaving.
+
+A `MerkleCap` of height h is the h-th layer from the root: 2^h digests
+replacing the root (shorter proofs + natural cross-device parallelism: each
+cap subtree can live on its own shard).
+
+Digest = 4 felts (HashOut). Leaves of width <= 4 pass through unhashed
+(`hash_or_noop`, reference plonk/config.rs:63-74).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.hash import poseidon as ps
+from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE, SPONGE_WIDTH
+
+
+def hash_leaves_dev(leaves: jax.Array) -> jax.Array:
+    """Batched hash_or_noop over [n, width] -> [n, 4] digests."""
+    n, width = leaves.shape
+    if width <= 4:
+        pad = jnp.zeros((n, 4 - width), dtype=jnp.uint64)
+        return jnp.concatenate([leaves, pad], axis=1) if width < 4 else leaves
+    state = jnp.zeros((n, SPONGE_WIDTH), dtype=jnp.uint64)
+    for i in range(0, width, SPONGE_RATE):
+        chunk = leaves[:, i : i + SPONGE_RATE]
+        c = chunk.shape[1]
+        state = jnp.concatenate([chunk, state[:, c:]], axis=1)
+        state = ps.permute_dev(state)
+    return state[:, :4]
+
+
+def compress_layer_dev(digests: jax.Array) -> jax.Array:
+    """[2m, 4] digests -> [m, 4] parent digests (two_to_one compression)."""
+    m2 = digests.shape[0]
+    pairs = digests.reshape(m2 // 2, 8)
+    state = jnp.concatenate(
+        [pairs, jnp.zeros((m2 // 2, SPONGE_WIDTH - 8), dtype=jnp.uint64)], axis=1
+    )
+    return ps.permute_dev(state)[:, :4]
+
+
+def merkle_layers_dev(leaves: jax.Array, cap_height: int) -> list[jax.Array]:
+    """All digest layers from leaf digests down to the cap (inclusive)."""
+    n = leaves.shape[0]
+    lg_n = n.bit_length() - 1
+    assert 1 << lg_n == n, "leaf count must be a power of two"
+    assert cap_height <= lg_n
+    layers = [hash_leaves_dev(leaves)]
+    for _ in range(lg_n - cap_height):
+        layers.append(compress_layer_dev(layers[-1]))
+    return layers
+
+
+@dataclass
+class MerkleProof:
+    """Siblings from leaf-digest level up to (excluding) the cap level."""
+
+    siblings: list[list[int]]  # each a 4-felt digest
+
+
+class MerkleTree:
+    """Host handle over device-built digest layers.
+
+    leaves: [n, width] u64 array (device or numpy).
+    """
+
+    def __init__(self, leaves, cap_height: int = 0):
+        leaves = jnp.asarray(np.asarray(leaves, dtype=np.uint64))
+        self.leaves = leaves
+        self.cap_height = cap_height
+        layers = _build_jit(leaves, cap_height)
+        # pull digests to host once; proofs are host-side gathers
+        self._layers = [np.asarray(l) for l in layers]
+        self.cap = [[int(v) for v in row] for row in self._layers[-1]]
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.leaves.shape[0])
+
+    def prove(self, leaf_index: int) -> MerkleProof:
+        siblings = []
+        idx = leaf_index
+        for layer in self._layers[:-1]:
+            siblings.append([int(v) for v in layer[idx ^ 1]])
+            idx >>= 1
+        return MerkleProof(siblings)
+
+    def leaf(self, leaf_index: int) -> list[int]:
+        return [int(v) for v in np.asarray(self.leaves[leaf_index])]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _build_jit(leaves, cap_height):
+    return merkle_layers_dev(leaves, cap_height)
+
+
+# ---------------------------------------------------------------------------
+# Host-side verification (scalar) — used by the FRI/native verifier.
+# ---------------------------------------------------------------------------
+
+def verify_merkle_proof_to_cap(
+    leaf: list[int], leaf_index: int, cap: list[list[int]], proof: MerkleProof
+) -> None:
+    """Raise if the proof is invalid (reference hash/merkle_proofs.rs)."""
+    digest = ps.hash_or_noop(leaf)
+    idx = leaf_index
+    for sibling in proof.siblings:
+        if idx & 1:
+            digest = ps.two_to_one(sibling, digest)
+        else:
+            digest = ps.two_to_one(digest, sibling)
+        idx >>= 1
+    if digest != list(cap[idx]):
+        raise ValueError(
+            f"Merkle proof invalid: leaf {leaf_index} digest {digest} != cap[{idx}] {cap[idx]}"
+        )

@@ -116,18 +116,36 @@ def _mds_dev(state):
     return g.canonicalize(t2)
 
 
+_IS_FULL = np.array(
+    [r < HALF_N_FULL_ROUNDS or r >= HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
+     for r in range(N_ROUNDS)]
+)
+
+
 def permute_dev(state):
-    """Batched Poseidon permutation; state [..., 12] uint64 canonical."""
-    for rnd in range(N_ROUNDS):
-        full = rnd < HALF_N_FULL_ROUNDS or rnd >= HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
-        state = g.add(state, jnp.asarray(_RC_DEV[rnd]))
-        if full:
-            state = _sbox_dev(state)
-        else:
-            s0 = _sbox_dev(state[..., 0:1])
-            state = jnp.concatenate([s0, state[..., 1:]], axis=-1)
-        state = _mds_dev(state)
-    return state
+    """Batched Poseidon permutation; state [..., 12] uint64 canonical.
+
+    Rounds run under lax.scan with a single round body (XLA's u64->u32
+    legalization is superlinear in graph size; 30 unrolled rounds take
+    minutes to compile, one scanned body takes seconds). Partial rounds
+    compute the S-box on all lanes and select lane 0 — wasted VPU lanes,
+    but branch-free and uniform.
+    """
+    import jax
+
+    rc = jnp.asarray(_RC_DEV)
+    is_full = jnp.asarray(_IS_FULL)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) == 0
+
+    def round_body(s, inp):
+        rc_row, full = inp
+        s = g.add(s, rc_row)
+        sb = _sbox_dev(s)
+        s = jnp.where(jnp.logical_or(full, lane0), sb, s)
+        return _mds_dev(s), None
+
+    out, _ = jax.lax.scan(round_body, state, (rc, is_full))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Witness containers (reference iop/witness.rs).
+
+`PartialWitness`: user-provided input map. `PartitionWitness`: one value slot
+per copy-constraint equivalence class (disjoint-set representative), sized by
+the built circuit. `full_witness` materializes the [num_wires, degree] matrix
+consumed by the device prover.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from plonky2_tpu.iop.target import Target, Wire, VirtualTarget, target_index
+
+
+class PartialWitness:
+    def __init__(self):
+        self.target_values: dict[Target, int] = {}
+
+    def set_target(self, target: Target, value: int) -> None:
+        old = self.target_values.get(target)
+        if old is not None and old != value:
+            raise ValueError(f"Target {target} set twice with different values: {old} != {value}")
+        self.target_values[target] = value
+
+    def set_targets(self, targets, values) -> None:
+        for t, v in zip(targets, values):
+            self.set_target(t, v)
+
+    def set_extension_target(self, ext_target, value: tuple) -> None:
+        for t, v in zip(ext_target.parts, value):
+            self.set_target(t, v)
+
+    def set_hash_target(self, hash_target, value4) -> None:
+        for t, v in zip(hash_target, value4):
+            self.set_target(t, v)
+
+    def set_bool_target(self, bool_target, value: bool) -> None:
+        self.set_target(bool_target.target, 1 if value else 0)
+
+
+class PartitionWitness:
+    """One Option<F> slot per representative (reference iop/witness.rs:333)."""
+
+    def __init__(self, representative_map: list[int], num_wires: int, degree: int):
+        self.representative_map = representative_map
+        self.num_wires = num_wires
+        self.degree = degree
+        self.values: list[int | None] = [None] * (max(representative_map) + 1 if representative_map else 0)
+
+    def rep_index(self, target: Target) -> int:
+        return self.representative_map[target_index(target, self.num_wires, self.degree)]
+
+    def try_get_target(self, target: Target):
+        return self.values[self.rep_index(target)]
+
+    def get_target(self, target: Target) -> int:
+        v = self.try_get_target(target)
+        assert v is not None, f"Target {target} not set"
+        return v
+
+    def get_targets(self, targets) -> list[int]:
+        return [self.get_target(t) for t in targets]
+
+    def get_extension_target(self, ext_target) -> tuple:
+        return tuple(self.get_target(t) for t in ext_target.parts)
+
+    def contains(self, target: Target) -> bool:
+        return self.try_get_target(target) is not None
+
+    def contains_all(self, targets) -> bool:
+        return all(self.contains(t) for t in targets)
+
+    def set_target(self, target: Target, value: int):
+        """Returns the representative index if newly set, else None.
+        Raises on conflicting double-set."""
+        rep = self.rep_index(target)
+        old = self.values[rep]
+        if old is not None:
+            if old != value:
+                raise ValueError(
+                    f"Partition containing {target} was set twice with different values: "
+                    f"{old} != {value}"
+                )
+            return None
+        self.values[rep] = value
+        return rep
+
+    def full_witness(self) -> np.ndarray:
+        """[num_wires, degree] matrix; unset wires default to 0
+        (reference iop/witness.rs:376 `MatrixWitness`)."""
+        out = np.zeros((self.num_wires, self.degree), dtype=np.uint64)
+        for row in range(self.degree):
+            base = row * self.num_wires
+            for col in range(self.num_wires):
+                v = self.values[self.representative_map[base + col]]
+                if v is not None:
+                    out[col, row] = v
+        return out

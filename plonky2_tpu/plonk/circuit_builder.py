@@ -1,0 +1,586 @@
+"""CircuitBuilder: host-side circuit construction + `build()` compilation
+(reference plonk/circuit_builder.rs:141-1348).
+
+Building is a one-time host pass producing static-shape device programs; all
+consensus-relevant decisions (gate ordering, selector grouping, sigma cycles,
+constant placement, PI hashing) follow the reference semantics exactly so that
+proofs agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.fri.oracle import PolynomialBatch
+from plonky2_tpu.gates.arithmetic_base import ArithmeticGate
+from plonky2_tpu.gates.poseidon_gate import PoseidonGate
+from plonky2_tpu.gates.simple_gates import ConstantGate, NoopGate, PublicInputGate
+from plonky2_tpu.hash import poseidon as ps
+from plonky2_tpu.iop.generator import (
+    ConstantGenerator,
+    CopyGenerator,
+    RandomValueGenerator,
+)
+from plonky2_tpu.iop.target import (
+    BoolTarget,
+    Target,
+    VirtualTarget,
+    Wire,
+    is_routable,
+)
+from plonky2_tpu.plonk import config as pcfg
+from plonky2_tpu.plonk.circuit_data import (
+    CircuitData,
+    CommonCircuitData,
+    ProverOnlyCircuitData,
+    SelectorsInfo,
+    VerifierOnlyCircuitData,
+)
+from plonky2_tpu.plonk.config import CircuitConfig
+from plonky2_tpu.plonk.permutation_argument import Forest
+from plonky2_tpu.util import log2_ceil, log2_strict
+
+
+class GateInstance:
+    __slots__ = ("gate", "constants")
+
+    def __init__(self, gate, constants):
+        self.gate = gate
+        self.constants = constants
+
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig | None = None):
+        self.config = config or CircuitConfig.standard_recursion_config()
+        self.gate_instances: list[GateInstance] = []
+        self.gates: dict[str, object] = {}  # id -> gate type (set semantics)
+        self.copy_constraints: list[tuple[Target, Target]] = []
+        self.generators: list = []
+        self.public_inputs: list[Target] = []
+        self.virtual_target_index = 0
+        self.constants_to_targets: dict[int, Target] = {}
+        self.targets_to_constants: dict[Target, int] = {}
+        self.constant_generators: list[ConstantGenerator] = []
+        self.base_arithmetic_results: dict[tuple, Target] = {}
+        # gate-slot batching: gate_id -> {params(tuple): (row, op)}
+        self.current_slots: dict[str, dict[tuple, tuple[int, int]]] = {}
+        self.luts: list = []
+        self.lookup_rows: list = []
+        self.lut_to_lookups: list = []
+
+    # -- targets -----------------------------------------------------------
+
+    def add_virtual_target(self) -> Target:
+        t = VirtualTarget(self.virtual_target_index)
+        self.virtual_target_index += 1
+        return t
+
+    def add_virtual_targets(self, n: int) -> list[Target]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def add_virtual_bool_target_safe(self) -> BoolTarget:
+        b = BoolTarget(self.add_virtual_target())
+        self.assert_bool(b)
+        return b
+
+    def add_virtual_bool_target_unsafe(self) -> BoolTarget:
+        return BoolTarget(self.add_virtual_target())
+
+    def add_virtual_hash(self) -> list[Target]:
+        return self.add_virtual_targets(4)
+
+    # -- gates -------------------------------------------------------------
+
+    def num_gates(self) -> int:
+        return len(self.gate_instances)
+
+    def add_gate(self, gate, constants: list[int]) -> int:
+        assert gate.num_wires() <= self.config.num_wires, (
+            f"{gate.id()} requires {gate.num_wires()} wires, config has {self.config.num_wires}"
+        )
+        assert gate.num_constants() <= self.config.num_constants or isinstance(gate, ConstantGate)
+        assert len(constants) <= gate.num_constants(), "Too many constants."
+        constants = list(constants) + [0] * (gate.num_constants() - len(constants))
+
+        row = len(self.gate_instances)
+        for constant_index, wire_index in gate.extra_constant_wires():
+            self.constant_generators.append(
+                ConstantGenerator(row, constant_index, wire_index, 0)
+            )
+        self.gates.setdefault(gate.id(), gate)
+        self.gate_instances.append(GateInstance(gate, constants))
+        return row
+
+    def find_slot(self, gate, params: list[int], constants: list[int]) -> tuple[int, int]:
+        """(row, op-slot) batching for multi-op gates
+        (reference circuit_builder.rs:813-840)."""
+        num_gates = self.num_gates()
+        num_ops = gate.num_ops
+        gate_slots = self.current_slots.setdefault(gate.id(), {})
+        key = tuple(params)
+        if key in gate_slots:
+            gate_idx, slot_idx = gate_slots[key]
+        else:
+            self.add_gate(gate, list(constants))
+            gate_idx, slot_idx = num_gates, 0
+        if slot_idx == num_ops - 1:
+            gate_slots.pop(key, None)
+        else:
+            gate_slots[key] = (gate_idx, slot_idx + 1)
+        return gate_idx, slot_idx
+
+    # -- copy constraints / generators --------------------------------------
+
+    def connect(self, x: Target, y: Target) -> None:
+        assert is_routable(x, self.config), "Tried to route a wire that isn't routable"
+        assert is_routable(y, self.config), "Tried to route a wire that isn't routable"
+        self.copy_constraints.append((x, y))
+
+    def generate_copy(self, src: Target, dst: Target) -> None:
+        self.add_simple_generator(CopyGenerator(src, dst))
+
+    def add_simple_generator(self, gen) -> None:
+        self.generators.append(gen)
+
+    def add_generators(self, gens) -> None:
+        self.generators.extend(gens)
+
+    # -- constants ----------------------------------------------------------
+
+    def constant(self, c: int) -> Target:
+        c = c % fs.P
+        if c in self.constants_to_targets:
+            return self.constants_to_targets[c]
+        t = self.add_virtual_target()
+        self.constants_to_targets[c] = t
+        self.targets_to_constants[t] = c
+        return t
+
+    def constants(self, cs) -> list[Target]:
+        return [self.constant(c) for c in cs]
+
+    def zero(self) -> Target:
+        return self.constant(0)
+
+    def one(self) -> Target:
+        return self.constant(1)
+
+    def two(self) -> Target:
+        return self.constant(2)
+
+    def neg_one(self) -> Target:
+        return self.constant(fs.P - 1)
+
+    def _false(self) -> BoolTarget:
+        return BoolTarget(self.zero())
+
+    def _true(self) -> BoolTarget:
+        return BoolTarget(self.one())
+
+    def target_as_constant(self, t: Target):
+        return self.targets_to_constants.get(t)
+
+    # -- public inputs -------------------------------------------------------
+
+    def register_public_input(self, t: Target) -> None:
+        self.public_inputs.append(t)
+
+    def register_public_inputs(self, ts) -> None:
+        for t in ts:
+            self.register_public_input(t)
+
+    # -- arithmetic gadgets --------------------------------------------------
+
+    def arithmetic(self, const_0: int, const_1: int, m0: Target, m1: Target,
+                   addend: Target) -> Target:
+        const_0 %= fs.P
+        const_1 %= fs.P
+        special = self._arithmetic_special_cases(const_0, const_1, m0, m1, addend)
+        if special is not None:
+            return special
+        key = (const_0, const_1, m0, m1, addend)
+        if key in self.base_arithmetic_results:
+            return self.base_arithmetic_results[key]
+        result = self._add_base_arithmetic_operation(const_0, const_1, m0, m1, addend)
+        self.base_arithmetic_results[key] = result
+        return result
+
+    def _add_base_arithmetic_operation(self, const_0, const_1, m0, m1, addend) -> Target:
+        gate = ArithmeticGate.new_from_config(self.config)
+        constants = [const_0, const_1]
+        row, i = self.find_slot(gate, constants, constants)
+        self.connect(m0, Wire(row, ArithmeticGate.wire_ith_multiplicand_0(i)))
+        self.connect(m1, Wire(row, ArithmeticGate.wire_ith_multiplicand_1(i)))
+        self.connect(addend, Wire(row, ArithmeticGate.wire_ith_addend(i)))
+        return Wire(row, ArithmeticGate.wire_ith_output(i))
+
+    def _arithmetic_special_cases(self, const_0, const_1, m0, m1, addend):
+        zero = self.zero()
+        mul_0_const = self.target_as_constant(m0)
+        mul_1_const = self.target_as_constant(m1)
+        addend_const = self.target_as_constant(addend)
+
+        first_term_zero = const_0 == 0 or m0 == zero or m1 == zero
+        second_term_zero = const_1 == 0 or addend == zero
+
+        if first_term_zero:
+            first_term_const = 0
+        elif mul_0_const is not None and mul_1_const is not None:
+            first_term_const = fs.mul(fs.mul(mul_0_const, mul_1_const), const_0)
+        else:
+            first_term_const = None
+        if second_term_zero:
+            second_term_const = 0
+        elif addend_const is not None:
+            second_term_const = fs.mul(addend_const, const_1)
+        else:
+            second_term_const = None
+        if first_term_const is not None and second_term_const is not None:
+            return self.constant(fs.add(first_term_const, second_term_const))
+
+        if first_term_zero and const_1 == 1:
+            return addend
+        if second_term_zero:
+            if mul_0_const is not None and fs.mul(mul_0_const, const_0) == 1:
+                return m1
+            if mul_1_const is not None and fs.mul(mul_1_const, const_0) == 1:
+                return m0
+        return None
+
+    def add(self, x: Target, y: Target) -> Target:
+        one = 1
+        return self.arithmetic(one, one, x, self.one(), y)
+
+    def add_many(self, ts) -> Target:
+        ts = list(ts)
+        acc = ts[0]
+        for t in ts[1:]:
+            acc = self.add(acc, t)
+        return acc
+
+    def sub(self, x: Target, y: Target) -> Target:
+        return self.arithmetic(1, fs.P - 1, x, self.one(), y)
+
+    def mul(self, x: Target, y: Target) -> Target:
+        return self.arithmetic(1, 0, x, y, self.zero())
+
+    def mul_many(self, ts) -> Target:
+        ts = list(ts)
+        acc = ts[0]
+        for t in ts[1:]:
+            acc = self.mul(acc, t)
+        return acc
+
+    def mul_add(self, x: Target, y: Target, z: Target) -> Target:
+        return self.arithmetic(1, 1, x, y, z)
+
+    def mul_sub(self, x: Target, y: Target, z: Target) -> Target:
+        return self.arithmetic(1, fs.P - 1, x, y, z)
+
+    def mul_const(self, c: int, x: Target) -> Target:
+        return self.arithmetic(c, 0, x, self.one(), self.zero())
+
+    def mul_const_add(self, c: int, x: Target, y: Target) -> Target:
+        return self.arithmetic(c, 1, x, self.one(), y)
+
+    def add_const(self, x: Target, c: int) -> Target:
+        return self.add(x, self.constant(c))
+
+    def neg(self, x: Target) -> Target:
+        return self.mul(x, self.neg_one())
+
+    def square(self, x: Target) -> Target:
+        return self.mul(x, x)
+
+    def inverse(self, x: Target) -> Target:
+        """1/x with an in-circuit x * x_inv = 1 check."""
+        from plonky2_tpu.gadgets.inverse import add_inverse
+
+        return add_inverse(self, x)
+
+    def div(self, x: Target, y: Target) -> Target:
+        y_inv = self.inverse(y)
+        return self.mul(x, y_inv)
+
+    # -- assertions ---------------------------------------------------------
+
+    def assert_zero(self, x: Target) -> None:
+        self.connect(x, self.zero())
+
+    def assert_one(self, x: Target) -> None:
+        self.connect(x, self.one())
+
+    def assert_bool(self, b: BoolTarget) -> None:
+        t = b.target
+        sq = self.mul(t, t)
+        self.connect(sq, t)
+
+    def is_equal(self, x: Target, y: Target) -> BoolTarget:
+        from plonky2_tpu.gadgets.inverse import is_equal
+
+        return is_equal(self, x, y)
+
+    def select(self, b: BoolTarget, x: Target, y: Target) -> Target:
+        """b ? x : y = b*(x-y) + y (reference gadgets/select.rs)."""
+        tmp = self.mul(b.target, self.sub(x, y))
+        return self.add(tmp, y)
+
+    # -- in-circuit hashing (PI hash & Merkle) -------------------------------
+
+    def permute_swapped(self, inputs: list[Target], swap: BoolTarget) -> list[Target]:
+        """One PoseidonGate row (reference hash/poseidon.rs:892-919)."""
+        gate = PoseidonGate()
+        row = self.add_gate(gate, [])
+        self.connect(swap.target, Wire(row, PoseidonGate.WIRE_SWAP))
+        for i in range(12):
+            self.connect(inputs[i], Wire(row, PoseidonGate.wire_input(i)))
+        return [Wire(row, PoseidonGate.wire_output(i)) for i in range(12)]
+
+    def permute(self, inputs: list[Target]) -> list[Target]:
+        return self.permute_swapped(inputs, self._false())
+
+    def hash_n_to_m_no_pad(self, inputs: list[Target], num_outputs: int) -> list[Target]:
+        zero = self.zero()
+        state = [zero] * 12
+        for i in range(0, len(inputs), 8):
+            chunk = inputs[i : i + 8]
+            state = chunk + state[len(chunk) :]
+            state = self.permute(state)
+        outputs = []
+        while True:
+            for s in state[:8]:
+                outputs.append(s)
+                if len(outputs) == num_outputs:
+                    return outputs
+            state = self.permute(state)
+
+    def hash_n_to_hash_no_pad(self, inputs: list[Target]) -> list[Target]:
+        return self.hash_n_to_m_no_pad(inputs, 4)
+
+    def hash_or_noop(self, inputs: list[Target]) -> list[Target]:
+        if len(inputs) <= 4:
+            return inputs + [self.zero()] * (4 - len(inputs))
+        return self.hash_n_to_hash_no_pad(inputs)
+
+    # -- build ---------------------------------------------------------------
+
+    def _fri_params(self, degree_bits: int):
+        return self.config.fri_config.fri_params(degree_bits, self.config.zero_knowledge)
+
+    def _num_blinding_gates(self, degree_estimate: int) -> tuple[int, int]:
+        D = 2
+        degree_bits_estimate = log2_strict(degree_estimate)
+        fri_queries = self.config.fri_config.num_query_rounds
+        arities = [1 << x for x in self._fri_params(degree_bits_estimate).reduction_arity_bits]
+        total_fri_folding_points = sum(x - 1 for x in arities)
+        prod = 1
+        for x in arities:
+            prod *= x
+        final_poly_coeffs = degree_estimate // prod
+        fri_openings = fri_queries * (1 + D * total_fri_folding_points + D * final_poly_coeffs)
+        return (D + fri_openings, 2 * D + fri_openings)
+
+    def _blinding_counts(self) -> tuple[int, int]:
+        num_gates = len(self.gate_instances)
+        degree_estimate = 1 << log2_ceil(max(num_gates, 1))
+        while True:
+            regular, z = self._num_blinding_gates(degree_estimate)
+            if num_gates + regular + 2 * z <= degree_estimate:
+                return regular, z
+            degree_estimate *= 2
+
+    def _blind_and_pad(self) -> None:
+        if self.config.zero_knowledge:
+            self._blind()
+        while len(self.gate_instances) & (len(self.gate_instances) - 1):
+            self.add_gate(NoopGate(), [])
+        if not self.gate_instances:
+            self.add_gate(NoopGate(), [])
+
+    def _blind(self) -> None:
+        regular, z = self._blinding_counts()
+        nw, nrw = self.config.num_wires, self.config.num_routed_wires
+        for _ in range(regular):
+            row = self.add_gate(NoopGate(), [])
+            for w in range(nw):
+                self.add_simple_generator(RandomValueGenerator(Wire(row, w)))
+        for _ in range(z):
+            g1 = self.add_gate(NoopGate(), [])
+            g2 = self.add_gate(NoopGate(), [])
+            for w in range(nrw):
+                self.add_simple_generator(RandomValueGenerator(Wire(g1, w)))
+                self.generate_copy(Wire(g1, w), Wire(g2, w))
+
+    def _constant_polys(self) -> list[np.ndarray]:
+        max_constants = max(g.num_constants() for g in self.gates.values())
+        n = len(self.gate_instances)
+        out = np.zeros((max_constants, n), dtype=np.uint64)
+        for j, gi in enumerate(self.gate_instances):
+            for k, c in enumerate(gi.constants):
+                out[k, j] = c
+        return [out[k] for k in range(max_constants)]
+
+    def _selector_polynomials(self, gates, max_degree):
+        """Greedy grouping by degree (reference gates/selectors.rs:113-185)."""
+        n = len(self.gate_instances)
+        num_gates = len(gates)
+        max_gate_degree = gates[-1].degree()
+        index = {g.id(): i for i, g in enumerate(gates)}
+
+        UNUSED = (1 << 32) - 1
+
+        if max_gate_degree + num_gates - 1 <= max_degree:
+            poly = np.array(
+                [index[gi.gate.id()] for gi in self.gate_instances], dtype=np.uint64
+            )
+            return [poly], SelectorsInfo([0] * num_gates, [range(0, num_gates)])
+
+        assert max_gate_degree < max_degree, (
+            f"{gates[-1].id()} has too high degree; increase quotient_degree_factor"
+        )
+
+        groups = []
+        start = 0
+        while start < num_gates:
+            size = 0
+            while start + size < num_gates and size + gates[start + size].degree() < max_degree:
+                size += 1
+            groups.append(range(start, start + size))
+            start += size
+
+        def group_of(i):
+            for gidx, rng in enumerate(groups):
+                if i in rng:
+                    return gidx
+            raise AssertionError
+
+        selector_indices = [group_of(i) for i in range(num_gates)]
+        polys = [np.full(n, UNUSED, dtype=np.uint64) for _ in groups]
+        for j, gi in enumerate(self.gate_instances):
+            i = index[gi.gate.id()]
+            gr = group_of(i)
+            for g in range(len(groups)):
+                polys[g][j] = i if g == gr else UNUSED
+        return polys, SelectorsInfo(selector_indices, groups)
+
+    def build(self) -> CircuitData:
+        config = self.config
+        rate_bits = config.fri_config.rate_bits
+        cap_height = config.fri_config.cap_height
+
+        # 1. hash public inputs in-circuit; route to PublicInputGate
+        num_public_inputs = len(self.public_inputs)
+        public_inputs_hash_t = self.hash_n_to_hash_no_pad(list(self.public_inputs))
+        pi_gate = self.add_gate(PublicInputGate(), [])
+        for hash_part, wire in zip(public_inputs_hash_t, PublicInputGate.wires_public_inputs_hash()):
+            self.connect(hash_part, Wire(pi_gate, wire))
+        for wire in range(4, config.num_wires):
+            self.add_simple_generator(RandomValueGenerator(Wire(pi_gate, wire)))
+
+        # 2. constant gates + generators
+        while len(self.constants_to_targets) > len(self.constant_generators):
+            self.add_gate(ConstantGate(config.num_constants), [])
+        for (c, t), const_gen in zip(
+            sorted(self.constants_to_targets.items(), key=lambda kv: kv[0]),
+            self.constant_generators,
+        ):
+            self.gate_instances[const_gen.row].constants[const_gen.constant_index] = c
+            self.connect(Wire(const_gen.row, const_gen.wire_index), t)
+            const_gen.constant = c
+            self.add_simple_generator(const_gen)
+
+        # 3. blind + pad to power of two
+        self._blind_and_pad()
+        degree = len(self.gate_instances)
+        degree_bits = log2_strict(degree)
+        fri_params = self._fri_params(degree_bits)
+        assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height, (
+            "FRI total reduction arity is too large."
+        )
+
+        quotient_degree_factor = config.max_quotient_degree_factor
+        gates = sorted(self.gates.values(), key=lambda g: (g.degree(), g.id()))
+        constant_vecs, selectors_info = self._selector_polynomials(
+            gates, quotient_degree_factor + 1
+        )
+        constant_vecs = list(constant_vecs) + self._constant_polys()
+        num_constants = len(constant_vecs)
+
+        subgroup = fs.two_adic_subgroup(degree_bits)
+        k_is = fs.get_unique_coset_shifts(degree, config.num_routed_wires)
+
+        # 4. sigma polynomials via union-find over copy constraints
+        forest = Forest(config.num_wires, config.num_routed_wires, degree,
+                        self.virtual_target_index)
+        for a, b in self.copy_constraints:
+            forest.merge(a, b)
+        forest.compress_paths()
+        sigma_vecs = forest.wire_partition().get_sigma_polys(degree_bits, k_is, subgroup)
+
+        # 5. commit to constants + sigmas
+        constants_sigmas = np.concatenate(
+            [np.stack(constant_vecs), sigma_vecs], axis=0
+        )
+        constants_sigmas_commitment = PolynomialBatch.from_values(
+            constants_sigmas, rate_bits, pcfg.CONSTANTS_SIGMAS.blinding, cap_height
+        )
+
+        # 6. gate generators (drop unused slots of partially-filled gates)
+        incomplete_gates = {}
+        for slots in self.current_slots.values():
+            for row, op in slots.values():
+                incomplete_gates[row] = op
+        for row, gi in enumerate(self.gate_instances):
+            gens = gi.gate.generators(row, gi.constants)
+            if row in incomplete_gates:
+                gens = gens[: incomplete_gates[row]]
+            self.add_generators(gens)
+
+        # 7. watch index by representative
+        generator_indices_by_watches: dict[int, list[int]] = {}
+        for i, gen in enumerate(self.generators):
+            for watch in gen.dependencies():
+                rep = forest.parents[forest.target_index(watch)]
+                generator_indices_by_watches.setdefault(rep, []).append(i)
+        for v in generator_indices_by_watches.values():
+            v[:] = sorted(set(v))
+
+        num_gate_constraints = max(g.num_constraints() for g in gates)
+        num_partial_products = (
+            (config.num_routed_wires + quotient_degree_factor - 1) // quotient_degree_factor - 1
+        )
+
+        # 8. circuit digest
+        cap = constants_sigmas_commitment.merkle_tree.cap
+        domain_separator_digest = ps.hash_no_pad([1])  # hash_pad([]) = pad-rule hash of empty
+        digest_parts = [x for h in cap for x in h] + domain_separator_digest + [degree_bits]
+        circuit_digest = ps.hash_no_pad(digest_parts)
+
+        common = CommonCircuitData(
+            config=config,
+            fri_params=fri_params,
+            gates=gates,
+            selectors_info=selectors_info,
+            quotient_degree_factor=quotient_degree_factor,
+            num_gate_constraints=num_gate_constraints,
+            num_constants=num_constants,
+            num_public_inputs=num_public_inputs,
+            k_is=k_is,
+            num_partial_products=num_partial_products,
+        )
+        prover_only = ProverOnlyCircuitData(
+            generators=self.generators,
+            generator_indices_by_watches=generator_indices_by_watches,
+            constants_sigmas_commitment=constants_sigmas_commitment,
+            sigmas=sigma_vecs,  # [num_routed, degree]
+            subgroup=subgroup,
+            public_inputs=self.public_inputs,
+            representative_map=forest.parents,
+            circuit_digest=circuit_digest,
+        )
+        verifier_only = VerifierOnlyCircuitData(
+            constants_sigmas_cap=cap,
+            circuit_digest=circuit_digest,
+        )
+        return CircuitData(prover_only, verifier_only, common)

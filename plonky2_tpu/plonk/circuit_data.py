@@ -1,0 +1,179 @@
+"""Circuit data: common / prover-only / verifier-only
+(reference plonk/circuit_data.rs:161-680)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from plonky2_tpu.fri.config import FriParams
+from plonky2_tpu.fri.structure import (
+    FriBatchInfo,
+    FriInstanceInfo,
+    FriOracleInfo,
+    FriPolynomialInfo,
+)
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.plonk import config as pcfg
+from plonky2_tpu.plonk.config import CircuitConfig
+
+
+@dataclass
+class SelectorsInfo:
+    selector_indices: list[int]
+    groups: list[range]
+
+    @property
+    def num_selectors(self) -> int:
+        return len(self.groups)
+
+
+@dataclass
+class CommonCircuitData:
+    config: CircuitConfig
+    fri_params: FriParams
+    gates: list  # Gate instances (types), sorted by (degree, id)
+    selectors_info: SelectorsInfo
+    quotient_degree_factor: int
+    num_gate_constraints: int
+    num_constants: int
+    num_public_inputs: int
+    k_is: list[int]
+    num_partial_products: int
+    num_lookup_polys: int = 0
+    num_lookup_selectors: int = 0
+    luts: list = field(default_factory=list)
+
+    @property
+    def degree_bits(self) -> int:
+        return self.fri_params.degree_bits
+
+    @property
+    def degree(self) -> int:
+        return 1 << self.degree_bits
+
+    @property
+    def lde_size(self) -> int:
+        return self.fri_params.lde_size
+
+    def constraint_degree(self) -> int:
+        return max(g.degree() for g in self.gates)
+
+    @property
+    def quotient_degree(self) -> int:
+        return self.quotient_degree_factor * self.degree
+
+    # poly index ranges within commitments
+    def constants_range(self) -> range:
+        return range(0, self.num_constants)
+
+    def sigmas_range(self) -> range:
+        return range(self.num_constants, self.num_constants + self.config.num_routed_wires)
+
+    def zs_range(self) -> range:
+        return range(0, self.config.num_challenges)
+
+    def partial_products_range(self) -> range:
+        return range(self.config.num_challenges,
+                     (self.num_partial_products + 1) * self.config.num_challenges)
+
+    def lookup_range(self) -> range:
+        start = self.num_zs_partial_products_polys()
+        return range(start, start + self.num_all_lookup_polys())
+
+    def num_preprocessed_polys(self) -> int:
+        return self.sigmas_range().stop
+
+    def num_zs_partial_products_polys(self) -> int:
+        return self.config.num_challenges * (1 + self.num_partial_products)
+
+    def num_all_lookup_polys(self) -> int:
+        return self.config.num_challenges * self.num_lookup_polys
+
+    def num_quotient_polys(self) -> int:
+        return self.config.num_challenges * self.quotient_degree_factor
+
+    # FRI instance
+    def fri_preprocessed_polys(self):
+        return FriPolynomialInfo.from_range(
+            pcfg.CONSTANTS_SIGMAS.index, range(0, self.num_preprocessed_polys()))
+
+    def fri_wire_polys(self):
+        return FriPolynomialInfo.from_range(pcfg.WIRES.index, range(0, self.config.num_wires))
+
+    def fri_zs_partial_products_polys(self):
+        return FriPolynomialInfo.from_range(
+            pcfg.ZS_PARTIAL_PRODUCTS.index, range(0, self.num_zs_partial_products_polys()))
+
+    def fri_zs_polys(self):
+        return FriPolynomialInfo.from_range(pcfg.ZS_PARTIAL_PRODUCTS.index, self.zs_range())
+
+    def fri_lookup_polys(self):
+        return FriPolynomialInfo.from_range(pcfg.ZS_PARTIAL_PRODUCTS.index, self.lookup_range())
+
+    def fri_quotient_polys(self):
+        return FriPolynomialInfo.from_range(pcfg.QUOTIENT.index, range(0, self.num_quotient_polys()))
+
+    def fri_all_polys(self):
+        return (self.fri_preprocessed_polys() + self.fri_wire_polys()
+                + self.fri_zs_partial_products_polys() + self.fri_quotient_polys()
+                + self.fri_lookup_polys())
+
+    def fri_next_batch_polys(self):
+        return self.fri_zs_polys() + self.fri_lookup_polys()
+
+    def fri_oracles(self):
+        return [
+            FriOracleInfo(self.num_preprocessed_polys(), pcfg.CONSTANTS_SIGMAS.blinding),
+            FriOracleInfo(self.config.num_wires, pcfg.WIRES.blinding),
+            FriOracleInfo(
+                self.num_zs_partial_products_polys() + self.num_all_lookup_polys(),
+                pcfg.ZS_PARTIAL_PRODUCTS.blinding,
+            ),
+            FriOracleInfo(self.num_quotient_polys(), pcfg.QUOTIENT.blinding),
+        ]
+
+    def get_fri_instance(self, zeta: tuple) -> FriInstanceInfo:
+        zeta_batch = FriBatchInfo(point=zeta, polynomials=self.fri_all_polys())
+        g = fs.primitive_root_of_unity(self.degree_bits)
+        zeta_next = fs.ext_scalar_mul(g, zeta)
+        zeta_next_batch = FriBatchInfo(point=zeta_next, polynomials=self.fri_next_batch_polys())
+        return FriInstanceInfo(oracles=self.fri_oracles(),
+                               batches=[zeta_batch, zeta_next_batch])
+
+
+@dataclass
+class ProverOnlyCircuitData:
+    generators: list
+    generator_indices_by_watches: dict[int, list[int]]
+    constants_sigmas_commitment: Any  # PolynomialBatch
+    sigmas: Any  # [num_routed, degree] u64 numpy (transposed per-row access on host)
+    subgroup: list[int]
+    public_inputs: list
+    representative_map: list[int]
+    circuit_digest: list[int]
+    # device-cached domain tables for the quotient pass
+    quotient_domain_tables: Any = None
+
+
+@dataclass
+class VerifierOnlyCircuitData:
+    constants_sigmas_cap: list[list[int]]
+    circuit_digest: list[int]
+
+
+@dataclass
+class CircuitData:
+    prover_only: ProverOnlyCircuitData
+    verifier_only: VerifierOnlyCircuitData
+    common: CommonCircuitData
+
+    def prove(self, inputs):
+        from plonky2_tpu.plonk.prover import prove
+
+        return prove(self.prover_only, self.common, inputs)
+
+    def verify(self, proof_with_pis) -> None:
+        from plonky2_tpu.plonk.verifier import verify
+
+        verify(proof_with_pis, self.verifier_only, self.common)
