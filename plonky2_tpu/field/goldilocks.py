@@ -121,21 +121,50 @@ def exp_u64(x: jax.Array, e: int) -> jax.Array:
     return result
 
 
-def inverse(x: jax.Array) -> jax.Array:
-    """Batched inverse via x^(p-2).
+_P_MINUS_2_BITS = np.array(
+    [(scalar.P - 2) >> i & 1 for i in range(64)], dtype=np.bool_
+)
 
-    On TPU a fully-vectorized 64-step pow ladder beats the Montgomery-trick
-    serial scan the reference uses (field/src/types.rs:133-223) — no
-    sequential dependency, no host sync. inverse(0) returns 0 (callers that
-    care must check).
+
+def inverse(x: jax.Array) -> jax.Array:
+    """Batched inverse via x^(p-2), pow ladder rolled into a lax.scan.
+
+    Fully vectorized (no Montgomery-trick serial scan as in the reference,
+    field/src/types.rs:133-223). The ladder is a scan rather than 64 unrolled
+    squarings because XLA compile time on long unrolled u64 chains is
+    superlinear; the loop body is two muls. inverse(0) returns 0 (callers
+    that care must check).
     """
-    return exp_u64(x, scalar.P - 2)
+    bits = jnp.asarray(_P_MINUS_2_BITS)
+
+    def body(carry, bit):
+        result, base = carry
+        result = jnp.where(bit, mul(result, base), result)
+        return (result, square(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (jnp.ones_like(x), x), bits)
+    return result
 
 
 def exp_power_of_2(x: jax.Array, k: int) -> jax.Array:
     for _ in range(k):
         x = square(x)
     return x
+
+
+def powers(z: jax.Array, n: int) -> jax.Array:
+    """[1, z, ..., z^(n-1)] for a traced scalar z (associative scan)."""
+    if n == 1:
+        return jnp.ones((1,), dtype=jnp.uint64)
+    rep = jnp.broadcast_to(z, (n - 1,))
+    incl = jax.lax.associative_scan(mul, rep)
+    return jnp.concatenate([jnp.ones((1,), dtype=jnp.uint64), incl])
+
+
+def matmul_mod(m: jax.Array, x: jax.Array) -> jax.Array:
+    """[r, c] x [c, Q] modular mat-vec batch: few XLA primitives regardless
+    of r*c (the tensorized dual of unrolled scalar dot products)."""
+    return sum_mod(mul(m[:, :, None], x[None, :, :]), axis=1)
 
 
 # ---------------------------------------------------------------------------

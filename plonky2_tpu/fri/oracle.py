@@ -30,9 +30,10 @@ SALT_SIZE = 4
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _values_to_lde_leaves(values, rate_bits, salt_size):
-    """[num_polys, n] values -> (coeffs [num_polys, n], leaves [N, num_polys])."""
+    """[num_polys, n] values -> (coeffs, lde [num_polys, N], leaves [N, num_polys])."""
     coeffs = ntt.ifft(values)
-    return coeffs, _coeffs_to_lde_leaves_impl(coeffs, rate_bits)
+    lde, leaves = _coeffs_to_lde_leaves_impl(coeffs, rate_bits)
+    return coeffs, lde, leaves
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -41,19 +42,20 @@ def _coeffs_to_lde_leaves(coeffs, rate_bits):
 
 
 def _coeffs_to_lde_leaves_impl(coeffs, rate_bits):
-    lde = ntt.coset_lde(coeffs, rate_bits)  # [num_polys, N]
+    lde = ntt.coset_lde(coeffs, rate_bits)  # [num_polys, N] natural order
     n_lde = lde.shape[-1]
     lg = n_lde.bit_length() - 1
     leaves = jnp.swapaxes(lde, 0, 1)  # [N, num_polys]
-    return jnp.take(leaves, jnp.asarray(ntt.bit_reverse_perm(lg)), axis=0)
+    return lde, jnp.take(leaves, jnp.asarray(ntt.bit_reverse_perm(lg)), axis=0)
 
 
 class PolynomialBatch:
     """A batch of committed polynomials sharing one Merkle-cap tree."""
 
-    def __init__(self, coeffs, merkle_tree: MerkleTree, degree_log: int, rate_bits: int,
-                 blinding: bool):
+    def __init__(self, coeffs, lde, merkle_tree: MerkleTree, degree_log: int,
+                 rate_bits: int, blinding: bool):
         self.polynomials = coeffs  # [num_polys, n] device coefficients
+        self.lde = lde  # [num_polys, N] natural-order coset-LDE values
         self.merkle_tree = merkle_tree
         self.degree_log = degree_log
         self.rate_bits = rate_bits
@@ -63,24 +65,24 @@ class PolynomialBatch:
     def from_values(values, rate_bits: int, blinding: bool, cap_height: int) -> "PolynomialBatch":
         values = jnp.asarray(np.asarray(values, dtype=np.uint64))
         n = values.shape[-1]
-        coeffs, leaves = _values_to_lde_leaves(values, rate_bits, SALT_SIZE if blinding else 0)
-        return PolynomialBatch._finish(coeffs, leaves, n, rate_bits, blinding, cap_height)
+        coeffs, lde, leaves = _values_to_lde_leaves(values, rate_bits, SALT_SIZE if blinding else 0)
+        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height)
 
     @staticmethod
     def from_coeffs(coeffs, rate_bits: int, blinding: bool, cap_height: int) -> "PolynomialBatch":
         coeffs = jnp.asarray(np.asarray(coeffs, dtype=np.uint64))
         n = coeffs.shape[-1]
-        leaves = _coeffs_to_lde_leaves(coeffs, rate_bits)
-        return PolynomialBatch._finish(coeffs, leaves, n, rate_bits, blinding, cap_height)
+        lde, leaves = _coeffs_to_lde_leaves(coeffs, rate_bits)
+        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height)
 
     @staticmethod
-    def _finish(coeffs, leaves, n, rate_bits, blinding, cap_height):
+    def _finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height):
         if blinding:
             # Salt columns are fresh randomness, not transcript-bound; host RNG.
             salt = np.random.randint(0, fs.P, size=(leaves.shape[0], SALT_SIZE), dtype=np.uint64)
             leaves = jnp.concatenate([leaves, jnp.asarray(salt)], axis=1)
         tree = MerkleTree(leaves, cap_height)
-        return PolynomialBatch(coeffs, tree, n.bit_length() - 1, rate_bits, blinding)
+        return PolynomialBatch(coeffs, lde, tree, n.bit_length() - 1, rate_bits, blinding)
 
     @property
     def lde_bits(self) -> int:

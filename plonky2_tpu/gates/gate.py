@@ -16,6 +16,33 @@ class Gate:
         """Constraint values in canonical order."""
         raise NotImplementedError
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Batched device evaluation over the whole quotient domain.
+
+        wires: [num_config_wires, Q] u64; constants: [num_gate_constants, Q]
+        (selector columns already stripped); public_inputs_hash: [4] u64.
+        Returns [num_constraints, Q] in the SAME order as eval_unfiltered.
+
+        Default: instantiate the generic ops definition row-wise. Hot gates
+        (Poseidon) override with a tensorized form — same math, ~100x fewer
+        XLA primitives, which keeps lowering/compile time sane.
+        """
+        import jax.numpy as jnp
+
+        from plonky2_tpu.gates.ops import DeviceBaseOps, EvaluationVars
+
+        ops = DeviceBaseOps()
+        vars = EvaluationVars(
+            [constants[i] for i in range(constants.shape[0])],
+            [wires[i] for i in range(wires.shape[0])],
+            [public_inputs_hash[k] for k in range(4)],
+        )
+        cs = self.eval_unfiltered(ops, vars)
+        q = wires.shape[-1]
+        if not cs:
+            return jnp.zeros((0, q), dtype=jnp.uint64)
+        return jnp.stack([jnp.broadcast_to(c, (q,)) for c in cs])
+
     def generators(self, row: int, local_constants: list[int]) -> list:
         return []
 

@@ -30,6 +30,55 @@ from plonky2_tpu.hash.poseidon_fast_partial import (
 W = SPONGE_WIDTH
 
 
+def _build_dev_tables():
+    """Constant tables for the tensorized device evaluation, as uint64 numpy.
+    Built lazily so importing the gate never touches the device."""
+    import numpy as np
+
+    P = (1 << 64) - (1 << 32) + 1
+    rc = np.asarray(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, W)
+    mds = np.zeros((W, W), dtype=np.uint64)
+    for r in range(W):
+        for c in range(W):
+            v = MDS_MATRIX_CIRC[(c - r) % W] + (MDS_MATRIX_DIAG[r] if r == c else 0)
+            mds[r, c] = v % P
+    p_init = np.zeros((W, W), dtype=np.uint64)
+    p_init[0, 0] = 1
+    for c in range(1, W):
+        for r in range(1, W):
+            p_init[c, r] = FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1] % P
+    mds0to0 = (MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]) % P
+    w_hat_rows = np.zeros((N_PARTIAL_ROUNDS, W), dtype=np.uint64)
+    vs_rows = np.zeros((N_PARTIAL_ROUNDS, W - 1), dtype=np.uint64)
+    for r in range(N_PARTIAL_ROUNDS):
+        w_hat_rows[r, 0] = mds0to0
+        for i in range(W - 1):
+            w_hat_rows[r, i + 1] = FAST_PARTIAL_ROUND_W_HATS[r][i] % P
+            vs_rows[r, i] = FAST_PARTIAL_ROUND_VS[r][i] % P
+    return {
+        "round_constants": rc,
+        "mds": mds,
+        "partial_init": p_init,
+        "w_hat_rows": w_hat_rows,
+        "vs_rows": vs_rows,
+        "partial_first_consts": np.asarray(
+            FAST_PARTIAL_FIRST_ROUND_CONSTANT, dtype=np.uint64
+        ),
+    }
+
+
+class _LazyTables:
+    _tables = None
+
+    def __getitem__(self, key):
+        if _LazyTables._tables is None:
+            _LazyTables._tables = _build_dev_tables()
+        return _LazyTables._tables[key]
+
+
+_DEV_TABLES = _LazyTables()
+
+
 # -- generic-ops Poseidon layers (fast partial-round form) -------------------
 
 def constant_layer(ops, state, round_ctr):
@@ -186,6 +235,77 @@ class PoseidonGate(Gate):
             constraints.append(ops.sub(state[i], wires[self.wire_output(i)]))
 
         return constraints
+
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized batch evaluation: states are [12, Q] arrays and every
+        layer is a handful of tensor primitives (MDS layers become modular
+        mat-vecs), so the XLA graph stays small. Constraint order matches
+        eval_unfiltered exactly."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        cls = PoseidonGate
+        q = wires.shape[-1]
+        constraints = []
+
+        swap = wires[cls.WIRE_SWAP]  # [Q]
+        one = jnp.ones((), dtype=jnp.uint64)
+        constraints.append(g.mul(swap, g.sub(swap, one))[None])
+
+        inputs = wires[0:W]  # [12, Q]
+        deltas = wires[cls.START_DELTA:cls.START_DELTA + 4]  # [4, Q]
+        lhs, rhs = inputs[0:4], inputs[4:8]
+        constraints.append(g.sub(g.mul(swap[None], g.sub(rhs, lhs)), deltas))
+
+        state = jnp.concatenate(
+            [g.add(inputs[0:4], deltas), g.sub(inputs[4:8], deltas), inputs[8:W]]
+        )
+
+        rc = _DEV_TABLES["round_constants"]  # [30, 12]
+        mds = _DEV_TABLES["mds"]  # [12, 12]
+        p_init = _DEV_TABLES["partial_init"]  # [12, 12]
+        w_hat_rows = _DEV_TABLES["w_hat_rows"]  # [22, 12] (row r: [m00, w_hats...])
+        vs_rows = _DEV_TABLES["vs_rows"]  # [22, 11]
+
+        def sbox(x):
+            x3 = g.mul(g.square(x), x)
+            return g.mul(g.square(x3), x)
+
+        round_ctr = 0
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = g.add(state, rc[round_ctr][:, None])
+            if r != 0:
+                sbox_in = wires[cls.START_FULL_0 + W * (r - 1):cls.START_FULL_0 + W * r]
+                constraints.append(g.sub(state, sbox_in))
+                state = sbox_in
+            state = g.matmul_mod(mds, sbox(state))
+            round_ctr += 1
+
+        state = g.add(state, _DEV_TABLES["partial_first_consts"][:, None])
+        state = g.matmul_mod(p_init, state)
+        for r in range(N_PARTIAL_ROUNDS):
+            sbox_in = wires[cls.START_PARTIAL + r]  # [Q]
+            constraints.append(g.sub(state[0], sbox_in)[None])
+            s0 = sbox(sbox_in)
+            if r < N_PARTIAL_ROUNDS - 1:
+                s0 = g.add(s0, jnp.asarray(np.uint64(FAST_PARTIAL_ROUND_CONSTANTS[r])))
+            full0 = jnp.concatenate([s0[None], state[1:]])
+            d = g.sum_mod(g.mul(w_hat_rows[r][:, None], full0), axis=0)  # [Q]
+            rest = g.add(state[1:], g.mul(vs_rows[r][:, None], s0[None]))
+            state = jnp.concatenate([d[None], rest])
+        round_ctr += N_PARTIAL_ROUNDS
+
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = g.add(state, rc[round_ctr][:, None])
+            sbox_in = wires[cls.START_FULL_1 + W * r:cls.START_FULL_1 + W * (r + 1)]
+            constraints.append(g.sub(state, sbox_in))
+            state = g.matmul_mod(mds, sbox(sbox_in))
+            round_ctr += 1
+
+        constraints.append(g.sub(state, wires[W:2 * W]))
+        return jnp.concatenate(constraints, axis=0)
 
     def generators(self, row: int, local_constants) -> list:
         return [PoseidonGenerator(row)]

@@ -52,10 +52,12 @@ class ConstantGate(Gate):
         ]
 
     def generators(self, row: int, local_constants: list[int]) -> list:
-        return [
-            ConstantGenerator(row, i, self.wire_output(i), local_constants[i])
-            for i in range(self.num_consts)
-        ]
+        # ConstantGenerators for this gate are registered via
+        # extra_constant_wires at add_gate time (reference constant.rs:113).
+        return []
+
+    def extra_constant_wires(self) -> list[tuple[int, int]]:
+        return [(i, self.wire_output(i)) for i in range(self.num_consts)]
 
     def num_wires(self) -> int:
         return self.num_consts
@@ -81,8 +83,9 @@ class PublicInputGate(Gate):
         return range(4)
 
     def eval_unfiltered(self, ops, vars) -> list:
+        # public_inputs_hash entries are pre-lifted ops-domain values
         return [
-            ops.sub(vars.local_wires[w], ops.constant(h))
+            ops.sub(vars.local_wires[w], h)
             for w, h in zip(self.wires_public_inputs_hash(), vars.public_inputs_hash)
         ]
 

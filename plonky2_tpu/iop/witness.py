@@ -89,11 +89,8 @@ class PartitionWitness:
     def full_witness(self) -> np.ndarray:
         """[num_wires, degree] matrix; unset wires default to 0
         (reference iop/witness.rs:376 `MatrixWitness`)."""
-        out = np.zeros((self.num_wires, self.degree), dtype=np.uint64)
-        for row in range(self.degree):
-            base = row * self.num_wires
-            for col in range(self.num_wires):
-                v = self.values[self.representative_map[base + col]]
-                if v is not None:
-                    out[col, row] = v
-        return out
+        vals = np.array([0 if v is None else v for v in self.values], dtype=np.uint64)
+        rep = np.asarray(
+            self.representative_map[: self.degree * self.num_wires], dtype=np.int64
+        )
+        return vals[rep].reshape(self.degree, self.num_wires).T.copy()

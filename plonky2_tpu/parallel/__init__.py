@@ -1,0 +1,92 @@
+"""Multi-chip sharding for the prover's bulk phases.
+
+The reference's only parallelism is rayon shared-memory threads
+(maybe_rayon/src/lib.rs) — there is no distributed backend to translate.
+The TPU-native design (SURVEY.md §2.7, §5): lay out polynomials as
+[num_polys, n] and pick shardings per phase over a 1-D device mesh:
+
+  - NTT / LDE:  shard the POLY axis — each chip runs full NTTs for its
+    columns with zero communication (per-polynomial data parallelism,
+    reference fri/oracle.rs:66,125-138 rayon par_iter dual).
+  - Merkle leaves: leaves are rows [N, num_polys]; resharding from
+    poly-sharded to row-sharded is one all-to-all that XLA inserts from the
+    output sharding constraint (the reference's transpose, fri/oracle.rs:97).
+  - Merkle layers: row-sharded layer hashing is local until the layer width
+    reaches the device count; the last log2(n_dev) levels ride an
+    all-gather of 16 * 4 felts (cap_height=4) — negligible.
+  - Round 2 scans / quotient eval: row (evaluation-point) sharded;
+    associative scans over the row axis lower to XLA's sharded scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import ntt
+from plonky2_tpu.hash import merkle
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_commit(values, rate_bits: int, cap_height: int, mesh: Mesh):
+    """Round-1 commitment pipeline under a mesh: poly-sharded NTT/LDE, one
+    all-to-all into row-sharded leaves, local Merkle layers, gathered cap.
+
+    Returns (coeffs [num_polys, n], leaves [N, num_polys], cap [2^cap, 4]).
+    """
+    poly_sharded = NamedSharding(mesh, P("rows", None))
+    row_sharded = NamedSharding(mesh, P("rows", None))
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def run(vals, rate_bits, cap_height):
+        coeffs = ntt.ifft(vals)  # local per poly (sharded on poly axis)
+        lde = ntt.coset_lde(coeffs, rate_bits)  # [num_polys, N]
+        n_lde = lde.shape[-1]
+        lg = n_lde.bit_length() - 1
+        leaves = jnp.swapaxes(lde, 0, 1)  # all-to-all via resharding
+        leaves = jnp.take(leaves, jnp.asarray(ntt.bit_reverse_perm(lg)), axis=0)
+        leaves = jax.lax.with_sharding_constraint(leaves, row_sharded)
+        layers = merkle.merkle_layers_dev(leaves, cap_height)
+        return coeffs, leaves, layers[-1]
+
+    values = jax.device_put(jnp.asarray(values), poly_sharded)
+    return run(values, rate_bits, cap_height)
+
+
+def sharded_prover_step(mesh: Mesh, num_polys: int = 8, degree_bits: int = 6,
+                        rate_bits: int = 3, cap_height: int = 2):
+    """One representative multi-chip prover step on tiny shapes: sharded
+    commit (NTT + all-to-all + Merkle) plus a row-sharded permutation-
+    argument scan — the two communication patterns the full prover uses.
+    Used by the driver's multi-chip dry run."""
+    n = 1 << degree_bits
+    rng = np.random.default_rng(0)
+    values = rng.integers(0, 1 << 63, size=(num_polys, n), dtype=np.uint64)
+    coeffs, leaves, cap = sharded_commit(values, rate_bits, cap_height, mesh)
+    jax.block_until_ready(cap)
+
+    # row-sharded modular prefix product (round-2 Z-polynomial pattern)
+    row_sharded = NamedSharding(mesh, P("rows"))
+    rows = jax.device_put(
+        jnp.asarray(rng.integers(1, 1 << 63, size=(n,), dtype=np.uint64)), row_sharded
+    )
+
+    @jax.jit
+    def scan_z(r):
+        incl = jax.lax.associative_scan(g.mul, r)
+        one = jnp.ones((1,), dtype=jnp.uint64)
+        return jnp.concatenate([one, incl[:-1]])
+
+    z = scan_z(rows)
+    jax.block_until_ready(z)
+    return cap, z

@@ -1,0 +1,396 @@
+"""PLONK prover (reference plonk/prover.rs:113-815), TPU-native.
+
+Host/device split: witness generation and the Fiat-Shamir transcript run on
+host; each prover round is one (per-circuit, shape-static) jitted XLA program:
+
+  round 1  wires commitment        IFFT + coset LDE + Merkle    (fri/oracle.py)
+  round 2  partial products & Zs   batched inverses + modular prefix scans
+                                   (lax.associative_scan replaces the
+                                   reference's sequential row loop :365-449)
+  round 3  quotient polynomials    all gate constraints over the whole
+                                   quotient domain in ONE fused program
+                                   (replaces 32-point SIMD chunking :607-815)
+  openings + FRI                   fri/oracle.py prove_openings
+
+There are exactly five host<->device sync points per proof: the three caps,
+zeta openings, and the per-fold FRI betas — matching the reference's
+Fiat-Shamir structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import ntt
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.fri.oracle import PolynomialBatch
+from plonky2_tpu.gates.ops import DeviceBaseOps, EvaluationVars
+from plonky2_tpu.hash import poseidon as ps
+from plonky2_tpu.iop.challenger import Challenger
+from plonky2_tpu.iop.generator import generate_partial_witness
+from plonky2_tpu.plonk import config as pcfg
+from plonky2_tpu.plonk.proof import OpeningSet, Proof, ProofWithPublicInputs
+from plonky2_tpu.plonk.vanishing_poly import eval_vanishing_poly
+from plonky2_tpu.util import TimingTree
+
+
+def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> ProofWithPublicInputs:
+    timing = timing or TimingTree("prove")
+    config = common.config
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    num_challenges = config.num_challenges
+    zk = config.zero_knowledge
+    degree = common.degree
+
+    with timing.scope("generate partial witness"):
+        partition_witness = generate_partial_witness(inputs, prover_data, common)
+
+    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
+    public_inputs_hash = ps.hash_no_pad(public_inputs)
+
+    with timing.scope("compute full witness"):
+        witness = partition_witness.full_witness()  # [num_wires, degree]
+
+    with timing.scope("wires commitment"):
+        wires_commitment = PolynomialBatch.from_values(
+            witness, rate_bits, zk and pcfg.WIRES.blinding, cap_height
+        )
+
+    challenger = Challenger()
+    common.fri_params.observe(challenger)
+    challenger.observe_hash(prover_data.circuit_digest)
+    challenger.observe_hash(public_inputs_hash)
+    challenger.observe_cap(wires_commitment.merkle_tree.cap)
+
+    betas = challenger.get_n_challenges(num_challenges)
+    gammas = challenger.get_n_challenges(num_challenges)
+
+    with timing.scope("partial products and Zs"):
+        wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
+        zs_partial_products = _all_partial_products_and_zs(
+            wires_values_routed, prover_data, common, betas, gammas
+        )
+
+    with timing.scope("zs_partial_products commitment"):
+        partial_products_zs_commitment = PolynomialBatch.from_values(
+            zs_partial_products, rate_bits,
+            zk and pcfg.ZS_PARTIAL_PRODUCTS.blinding, cap_height,
+        )
+
+    challenger.observe_cap(partial_products_zs_commitment.merkle_tree.cap)
+    alphas = challenger.get_n_challenges(num_challenges)
+
+    with timing.scope("quotient polys"):
+        quotient_chunks = _compute_quotient_polys(
+            prover_data, common,
+            prover_data.constants_sigmas_commitment,
+            wires_commitment,
+            partial_products_zs_commitment,
+            public_inputs_hash, betas, gammas, alphas,
+        )
+
+    with timing.scope("quotient commitment"):
+        quotient_polys_commitment = PolynomialBatch.from_coeffs(
+            quotient_chunks, rate_bits, zk and pcfg.QUOTIENT.blinding, cap_height
+        )
+
+    challenger.observe_cap(quotient_polys_commitment.merkle_tree.cap)
+    zeta = challenger.get_extension_challenge(2)
+    # Like the reference (plonk/prover.rs:306-314): zeta must lie outside H.
+    if fs.ext_exp(zeta, degree) == fs.ext_one(2):
+        raise ValueError("Opening point is in the subgroup.")
+
+    g_root = fs.primitive_root_of_unity(common.degree_bits)
+
+    with timing.scope("openings"):
+        openings = _opening_set(
+            zeta, g_root,
+            prover_data.constants_sigmas_commitment,
+            wires_commitment,
+            partial_products_zs_commitment,
+            quotient_polys_commitment,
+            common,
+        )
+
+    for batch in openings.to_fri_openings().batches:
+        challenger.observe_extension_elements(batch.values)
+
+    instance = common.get_fri_instance(zeta)
+    with timing.scope("FRI opening proof"):
+        opening_proof = PolynomialBatch.prove_openings(
+            instance,
+            [prover_data.constants_sigmas_commitment, wires_commitment,
+             partial_products_zs_commitment, quotient_polys_commitment],
+            challenger,
+            common.fri_params,
+        )
+
+    proof = Proof(
+        wires_cap=wires_commitment.merkle_tree.cap,
+        plonk_zs_partial_products_cap=partial_products_zs_commitment.merkle_tree.cap,
+        quotient_polys_cap=quotient_polys_commitment.merkle_tree.cap,
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+
+# -- round 2: permutation partial products & Z polynomials -------------------
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _round2_one_challenge(wires_routed, sigmas, k_is, subgroup, beta_gamma, qdf):
+    """Per-row quotients -> chunk products -> modular prefix scans.
+
+    Reference plonk/prover.rs:365-449 computes per-row chunk products in
+    parallel then runs a SEQUENTIAL row loop for Z; here Z is an exclusive
+    modular-product scan (lax.associative_scan), fully parallel.
+
+    Returns ([n] Z values, [num_prods, n] partial products).
+    """
+    beta, gamma = beta_gamma[0], beta_gamma[1]
+    s_id = g.mul(k_is[:, None], subgroup[None, :])  # [R, n]
+    numer = g.add(wires_routed, g.add(g.mul(beta, s_id), gamma))
+    denom = g.add(wires_routed, g.add(g.mul(beta, sigmas), gamma))
+    quot = g.mul(numer, g.inverse(denom))  # [R, n]
+
+    R, n = quot.shape
+    num_chunks = (R + qdf - 1) // qdf
+    if num_chunks * qdf != R:
+        pad = jnp.ones((num_chunks * qdf - R, n), dtype=jnp.uint64)
+        quot = jnp.concatenate([quot, pad], axis=0)
+    chunks = quot.reshape(num_chunks, qdf, n)
+    chunk_products = chunks[:, 0, :]
+    for j in range(1, qdf):
+        chunk_products = g.mul(chunk_products, chunks[:, j, :])
+
+    # inclusive cumulative chunk products within a row: [num_chunks, n]
+    cumprods = jax.lax.associative_scan(g.mul, chunk_products, axis=0)
+    row_products = cumprods[-1]  # [n]
+
+    # Z: exclusive modular-product scan over rows, Z(g^0) = 1
+    z_incl = jax.lax.associative_scan(g.mul, row_products)
+    one = jnp.ones((1,), dtype=jnp.uint64)
+    z = jnp.concatenate([one, z_incl[:-1]])
+
+    partial_products = g.mul(z[None, :], cumprods[:-1])  # [num_chunks-1, n]
+    return z, partial_products
+
+
+def _all_partial_products_and_zs(wires_values_routed, prover_data, common, betas, gammas):
+    """[num_challenges*(1+num_prods), degree]: all Z polys first, then the
+    partial products per challenge (reference prover.rs:220-257 layout)."""
+    qdf = common.quotient_degree_factor
+    zs = []
+    pps = []
+    sigmas = jnp.asarray(prover_data.sigmas)
+    k_is = jnp.asarray(np.asarray(common.k_is, dtype=np.uint64))
+    subgroup = jnp.asarray(np.asarray(prover_data.subgroup, dtype=np.uint64))
+    for beta, gamma in zip(betas, gammas):
+        bg = jnp.asarray(np.asarray([beta, gamma], dtype=np.uint64))
+        z, pp = _round2_one_challenge(wires_values_routed, sigmas, k_is, subgroup, bg, qdf)
+        zs.append(z)
+        pps.append(pp)
+    return jnp.concatenate([jnp.stack(zs)] + pps, axis=0)
+
+
+# -- round 3: quotient polynomials -------------------------------------------
+
+_QUOTIENT_FN_CACHE: dict[int, object] = {}
+
+
+def _make_quotient_fn(common):
+    """Build the per-circuit fused quotient program. Static over the circuit
+    (gates, selector groups, k_is); traced over all per-proof arrays.
+
+    Fully tensorized: wires/constants stay [num_polys, Q] arrays and gate
+    constraints come from Gate.eval_unfiltered_device, so the XLA graph is
+    a few hundred tensor primitives regardless of gate complexity (the
+    unrolled-scalar form lowers ~100x slower). Same math and identical
+    constraint/term ordering as vanishing_poly.eval_vanishing_poly."""
+    from plonky2_tpu.gates.gate import UNUSED_SELECTOR
+
+    qdf = common.quotient_degree_factor
+    n = common.degree
+    num_constants = common.num_constants
+    num_routed = common.config.num_routed_wires
+    num_challenges = common.config.num_challenges
+    num_prods = common.num_partial_products
+    num_selectors = common.selectors_info.num_selectors
+    num_lookup_selectors = common.num_lookup_selectors
+    zs_idx = list(common.zs_range())
+    pp_idx = list(common.partial_products_range())
+    k_is_np = np.asarray(common.k_is, dtype=np.uint64)
+    num_chunks = (num_routed + qdf - 1) // qdf
+    pad = num_chunks * qdf - num_routed
+
+    def f(constants_sigmas_q, wires_q, zs_pp_q, betas, gammas, alphas, pi_hash,
+          xs, z_h, z_h_inv):
+        Q = xs.shape[0]
+        one = jnp.ones((), dtype=jnp.uint64)
+
+        # L_0(x) = Z_H(x) / (n * (x - 1)) pointwise on the coset
+        l_0_x = g.mul(z_h, g.inverse(g.mul_scalar(g.sub(xs, one), n % fs.P)))
+
+        # -- gate constraints, filtered and accumulated [num_gate_constraints, Q]
+        gate_constants = constants_sigmas_q[num_selectors + num_lookup_selectors:num_constants]
+        acc = jnp.zeros((common.num_gate_constraints, Q), dtype=jnp.uint64)
+        for i, gate in enumerate(common.gates):
+            sel_idx = common.selectors_info.selector_indices[i]
+            s = constants_sigmas_q[sel_idx]
+            filt = one
+            for k in common.selectors_info.groups[sel_idx]:
+                if k == i:
+                    continue
+                filt = g.mul(filt, g.sub(jnp.asarray(np.uint64(k)), s))
+            if num_selectors > 1:
+                filt = g.mul(filt, g.sub(jnp.asarray(np.uint64(UNUSED_SELECTOR)), s))
+            ev = gate.eval_unfiltered_device(wires_q, gate_constants, pi_hash)
+            k = ev.shape[0]
+            if k == 0:
+                continue
+            ev = g.mul(jnp.broadcast_to(filt, (k, Q)), ev)
+            if k < common.num_gate_constraints:
+                ev = jnp.concatenate(
+                    [ev, jnp.zeros((common.num_gate_constraints - k, Q), dtype=jnp.uint64)]
+                )
+            acc = g.add(acc, ev)
+
+        # -- permutation argument terms
+        sigmas = constants_sigmas_q[num_constants:num_constants + num_routed]
+        s_id = g.mul(jnp.asarray(k_is_np)[:, None], xs[None, :])  # [R, Q]
+        wires_routed = wires_q[:num_routed]
+        z1_terms = []
+        pp_terms = []
+        for i in range(num_challenges):
+            beta, gamma = betas[i], gammas[i]
+            z_x = zs_pp_q[zs_idx[i]]
+            z_gx = jnp.roll(z_x, -qdf)
+            z1_terms.append(g.mul(l_0_x, g.sub(z_x, one))[None])
+
+            numer = g.add(wires_routed, g.add(g.mul(beta, s_id), gamma))
+            denom = g.add(wires_routed, g.add(g.mul(beta, sigmas), gamma))
+            if pad:
+                ones = jnp.ones((pad, Q), dtype=jnp.uint64)
+                numer = jnp.concatenate([numer, ones])
+                denom = jnp.concatenate([denom, ones])
+            numc = numer.reshape(num_chunks, qdf, Q)
+            denc = denom.reshape(num_chunks, qdf, Q)
+            num_prod = numc[:, 0]
+            den_prod = denc[:, 0]
+            for j in range(1, qdf):
+                num_prod = g.mul(num_prod, numc[:, j])
+                den_prod = g.mul(den_prod, denc[:, j])
+            pps = jnp.stack([zs_pp_q[pp_idx[i * num_prods + c]] for c in range(num_prods)])
+            accs = jnp.concatenate([z_x[None], pps, z_gx[None]])  # [num_chunks+1, Q]
+            pp_terms.append(
+                g.sub(g.mul(accs[1:], den_prod), g.mul(accs[:-1], num_prod))
+            )
+
+        all_terms = jnp.concatenate(z1_terms + pp_terms + [acc])  # [T, Q]
+        T = all_terms.shape[0]
+
+        # -- alpha reduction per challenge, then divide by Z_H
+        vanishing = []
+        for i in range(num_challenges):
+            ap = g.powers(alphas[i], T)  # [T]
+            vanishing.append(g.sum_mod(g.mul(ap[:, None], all_terms), axis=0))
+        quotient_values = g.mul(jnp.stack(vanishing), z_h_inv[None])  # [nc, Q]
+        coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
+        return coeffs.reshape(-1, n)  # [nc*qdf, n]: chunks t_0..t_{qdf-1} per challenge
+
+    return jax.jit(f)
+
+
+def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
+                            wires_commitment, zs_pp_commitment,
+                            public_inputs_hash, betas, gammas, alphas):
+    key = id(common)
+    fn = _QUOTIENT_FN_CACHE.get(key)
+    if fn is None:
+        fn = _make_quotient_fn(common)
+        _QUOTIENT_FN_CACHE[key] = fn
+
+    qdf = common.quotient_degree_factor
+    qd_bits = qdf.bit_length() - 1
+    n = common.degree
+    Q = qdf * n
+    rate_bits = common.config.fri_config.rate_bits
+    assert rate_bits >= qd_bits
+    step = 1 << (rate_bits - qd_bits)
+
+    # natural-order sub-LDE: stride-`step` subsample of the stored LDE
+    cs_q = constants_sigmas_commitment.lde[:, ::step]
+    wires_q = wires_commitment.lde[:, ::step]
+    zs_pp_q = zs_pp_commitment.lde[:, ::step]
+
+    # domain points x = shift * v^j (v the Q-th root) and Z_H(x)^-1 (period qdf)
+    v = fs.primitive_root_of_unity(qd_bits + common.degree_bits)
+    xs = g.np_powers(v, Q)
+    xs = np.asarray(
+        (xs.astype(object) * fs.MULTIPLICATIVE_GROUP_GENERATOR) % fs.P, dtype=np.uint64
+    )
+    u = fs.exp(v, n)  # order qdf
+    shift_pow_n = fs.exp(fs.MULTIPLICATIVE_GROUP_GENERATOR, n)
+    z_h_vals = [fs.sub(fs.mul(shift_pow_n, fs.exp(u, j)), 1) for j in range(qdf)]
+    z_h = np.tile(np.asarray(z_h_vals, dtype=np.uint64), Q // qdf)
+    z_h_inv = np.tile(
+        np.asarray(fs.batch_inverse(z_h_vals), dtype=np.uint64), Q // qdf
+    )
+
+    return fn(
+        cs_q, wires_q, zs_pp_q,
+        jnp.asarray(np.asarray(betas, dtype=np.uint64)),
+        jnp.asarray(np.asarray(gammas, dtype=np.uint64)),
+        jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
+        jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
+        jnp.asarray(xs), jnp.asarray(z_h), jnp.asarray(z_h_inv),
+    )
+
+
+# -- openings ----------------------------------------------------------------
+
+
+@jax.jit
+def _eval_polys_at(coeffs, z):
+    """Evaluate [J, n] base-coeff polys at the ext point z = (z0, z1)."""
+    n = coeffs.shape[-1]
+    zp0, zp1 = g.ext2_powers((z[0], z[1]), n)
+    e0 = g.sum_mod(g.mul(coeffs, zp0[None, :]), axis=1)
+    e1 = g.sum_mod(g.mul(coeffs, zp1[None, :]), axis=1)
+    return e0, e1
+
+
+def _eval_commitment(z: tuple, commitment) -> list[tuple]:
+    zd = jnp.asarray(np.asarray(list(z), dtype=np.uint64))
+    e0, e1 = _eval_polys_at(commitment.polynomials, zd)
+    e0 = np.asarray(e0)
+    e1 = np.asarray(e1)
+    return [(int(a), int(b)) for a, b in zip(e0, e1)]
+
+
+def _opening_set(zeta, g_root, constants_sigmas_commitment, wires_commitment,
+                 zs_partial_products_commitment, quotient_polys_commitment,
+                 common) -> OpeningSet:
+    """Reference plonk/proof.rs:314-351."""
+    zeta_next = fs.ext_scalar_mul(g_root, zeta)
+    cs_eval = _eval_commitment(zeta, constants_sigmas_commitment)
+    zs_pp_eval = _eval_commitment(zeta, zs_partial_products_commitment)
+    zs_pp_next_eval = _eval_commitment(zeta_next, zs_partial_products_commitment)
+    return OpeningSet(
+        constants=[cs_eval[i] for i in common.constants_range()],
+        plonk_sigmas=[cs_eval[i] for i in common.sigmas_range()],
+        wires=_eval_commitment(zeta, wires_commitment),
+        plonk_zs=[zs_pp_eval[i] for i in common.zs_range()],
+        plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
+        partial_products=[zs_pp_eval[i] for i in common.partial_products_range()],
+        quotient_polys=_eval_commitment(zeta, quotient_polys_commitment),
+        lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
+        lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
+    )
