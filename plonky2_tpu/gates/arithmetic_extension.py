@@ -1,0 +1,203 @@
+"""ArithmeticExtensionGate and MulExtensionGate: batched extension-field ops
+(reference gates/arithmetic_extension.rs, gates/multiplication_extension.rs).
+
+Wire groups of D consecutive wires hold extension elements; constraints are
+evaluated in the extension ALGEBRA (D-dim algebra over the ops domain) and
+flattened to D base constraints per op."""
+
+from __future__ import annotations
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.gates.ops import ealg_add, ealg_from_base, ealg_mul, ealg_scalar_mul, ealg_sub
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import ExtensionTarget, Wire
+
+D = 2
+
+
+class ArithmeticExtensionGate(Gate):
+    """const_0 * m0 * m1 + const_1 * addend over F_{p^D}."""
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @staticmethod
+    def new_from_config(config) -> "ArithmeticExtensionGate":
+        return ArithmeticExtensionGate(config.num_routed_wires // (4 * D))
+
+    @staticmethod
+    def wires_ith_multiplicand_0(i: int) -> range:
+        return range(4 * D * i, 4 * D * i + D)
+
+    @staticmethod
+    def wires_ith_multiplicand_1(i: int) -> range:
+        return range(4 * D * i + D, 4 * D * i + 2 * D)
+
+    @staticmethod
+    def wires_ith_addend(i: int) -> range:
+        return range(4 * D * i + 2 * D, 4 * D * i + 3 * D)
+
+    @staticmethod
+    def wires_ith_output(i: int) -> range:
+        return range(4 * D * i + 3 * D, 4 * D * i + 4 * D)
+
+    def id(self) -> str:
+        return f"ArithmeticExtensionGate {{ num_ops: {self.num_ops} }}"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        const_0 = vars.local_constants[0]
+        const_1 = vars.local_constants[1]
+        constraints = []
+        for i in range(self.num_ops):
+            m0 = vars.get_local_ext_algebra(self.wires_ith_multiplicand_0(i))
+            m1 = vars.get_local_ext_algebra(self.wires_ith_multiplicand_1(i))
+            addend = vars.get_local_ext_algebra(self.wires_ith_addend(i))
+            output = vars.get_local_ext_algebra(self.wires_ith_output(i))
+            computed = ealg_add(
+                ops,
+                ealg_scalar_mul(ops, const_0, ealg_mul(ops, m0, m1)),
+                ealg_scalar_mul(ops, const_1, addend),
+            )
+            constraints.extend(ealg_sub(ops, output, computed))
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [
+            ArithmeticExtensionGenerator(row, local_constants[0], local_constants[1], i)
+            for i in range(self.num_ops)
+        ]
+
+    def num_wires(self) -> int:
+        return self.num_ops * 4 * D
+
+    def num_constants(self) -> int:
+        return 2
+
+    def degree(self) -> int:
+        return 3
+
+    def num_constraints(self) -> int:
+        return self.num_ops * D
+
+
+class ArithmeticExtensionGenerator(SimpleGenerator):
+    def __init__(self, row: int, const_0: int, const_1: int, i: int):
+        self.row = row
+        self.const_0 = const_0
+        self.const_1 = const_1
+        self.i = i
+
+    def dependencies(self):
+        i = self.i
+        return [
+            Wire(self.row, w)
+            for rng in (
+                ArithmeticExtensionGate.wires_ith_multiplicand_0(i),
+                ArithmeticExtensionGate.wires_ith_multiplicand_1(i),
+                ArithmeticExtensionGate.wires_ith_addend(i),
+            )
+            for w in rng
+        ]
+
+    def run_once(self, witness, out):
+        i, row = self.i, self.row
+        ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
+        m0 = ext(ArithmeticExtensionGate.wires_ith_multiplicand_0(i))
+        m1 = ext(ArithmeticExtensionGate.wires_ith_multiplicand_1(i))
+        addend = ext(ArithmeticExtensionGate.wires_ith_addend(i))
+        computed = fs.ext_add(
+            fs.ext_scalar_mul(self.const_0, fs.ext_mul(m0, m1)),
+            fs.ext_scalar_mul(self.const_1, addend),
+        )
+        out.set_extension_target(
+            ExtensionTarget(
+                tuple(Wire(row, w) for w in ArithmeticExtensionGate.wires_ith_output(i))
+            ),
+            computed,
+        )
+
+
+class MulExtensionGate(Gate):
+    """const_0 * m0 * m1 over F_{p^D} (reference multiplication_extension.rs)."""
+
+    def __init__(self, num_ops: int):
+        self.num_ops = num_ops
+
+    @staticmethod
+    def new_from_config(config) -> "MulExtensionGate":
+        return MulExtensionGate(config.num_routed_wires // (3 * D))
+
+    @staticmethod
+    def wires_ith_multiplicand_0(i: int) -> range:
+        return range(3 * D * i, 3 * D * i + D)
+
+    @staticmethod
+    def wires_ith_multiplicand_1(i: int) -> range:
+        return range(3 * D * i + D, 3 * D * i + 2 * D)
+
+    @staticmethod
+    def wires_ith_output(i: int) -> range:
+        return range(3 * D * i + 2 * D, 3 * D * i + 3 * D)
+
+    def id(self) -> str:
+        return f"MulExtensionGate {{ num_ops: {self.num_ops} }}"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        const_0 = vars.local_constants[0]
+        constraints = []
+        for i in range(self.num_ops):
+            m0 = vars.get_local_ext_algebra(self.wires_ith_multiplicand_0(i))
+            m1 = vars.get_local_ext_algebra(self.wires_ith_multiplicand_1(i))
+            output = vars.get_local_ext_algebra(self.wires_ith_output(i))
+            computed = ealg_scalar_mul(ops, const_0, ealg_mul(ops, m0, m1))
+            constraints.extend(ealg_sub(ops, output, computed))
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [
+            MulExtensionGenerator(row, local_constants[0], i) for i in range(self.num_ops)
+        ]
+
+    def num_wires(self) -> int:
+        return self.num_ops * 3 * D
+
+    def num_constants(self) -> int:
+        return 1
+
+    def degree(self) -> int:
+        return 3
+
+    def num_constraints(self) -> int:
+        return self.num_ops * D
+
+
+class MulExtensionGenerator(SimpleGenerator):
+    def __init__(self, row: int, const_0: int, i: int):
+        self.row = row
+        self.const_0 = const_0
+        self.i = i
+
+    def dependencies(self):
+        i = self.i
+        return [
+            Wire(self.row, w)
+            for rng in (
+                MulExtensionGate.wires_ith_multiplicand_0(i),
+                MulExtensionGate.wires_ith_multiplicand_1(i),
+            )
+            for w in rng
+        ]
+
+    def run_once(self, witness, out):
+        i, row = self.i, self.row
+        ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
+        m0 = ext(MulExtensionGate.wires_ith_multiplicand_0(i))
+        m1 = ext(MulExtensionGate.wires_ith_multiplicand_1(i))
+        computed = fs.ext_scalar_mul(self.const_0, fs.ext_mul(m0, m1))
+        out.set_extension_target(
+            ExtensionTarget(
+                tuple(Wire(row, w) for w in MulExtensionGate.wires_ith_output(i))
+            ),
+            computed,
+        )

@@ -1,0 +1,236 @@
+"""CosetInterpolationGate: barycentric interpolation of a coset-indexed
+vector at an extension point, with degree-bounded intermediate wires
+(reference gates/coset_interpolation.rs). Workhorse of in-circuit FRI folds.
+
+Evaluation strategy (reference comment, coset_interpolation.rs:39-57):
+interpolate over the fixed subgroup H (weights are compile-time constants)
+at the shifted point z/shift, tracking running sequences
+  p[i] = p[i-1] * (z - x[i-1])          (partial products)
+  e[i] = e[i-1] * (z - x[i-1]) + w[i-1] * v[i-1] * p[i-1]
+so e[N] is the barycentric *first-form* numerator — no in-circuit division.
+"""
+
+from __future__ import annotations
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.gates.ops import (
+    ealg_add,
+    ealg_from_base,
+    ealg_mul,
+    ealg_sub,
+    ealg_zero,
+)
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import Wire
+
+D = 2
+
+
+def subgroup_barycentric_weights(subgroup_bits: int) -> list[int]:
+    """w_i = prod_{j != i} (x_i - x_j)^-1 over the two-adic subgroup."""
+    pts = fs.two_adic_subgroup(subgroup_bits)
+    n = len(pts)
+    prods = []
+    for i in range(n):
+        acc = 1
+        for j in range(n):
+            if j != i:
+                acc = fs.mul(acc, fs.sub(pts[i], pts[j]))
+        prods.append(acc)
+    return fs.batch_inverse(prods)
+
+
+def _partial_interpolate(ops, domain, values, weights, x, init_eval, init_prod):
+    """One degree-bounded chunk of the running interpolation. domain/weights
+    are python ints; values are ealg elements; x is an ealg element."""
+    ev, prod = init_eval, init_prod
+    for x_i, v, w in zip(domain, values, weights):
+        term = ealg_sub(ops, x, ealg_from_base(ops, ops.constant(x_i), D))
+        wv = tuple(ops.mul_const(w, c) for c in v)
+        ev = ealg_add(ops, ealg_mul(ops, ev, term), ealg_mul(ops, wv, prod))
+        prod = ealg_mul(ops, prod, term)
+    return ev, prod
+
+
+def _partial_interpolate_scalar(domain, values, weights, x, init_eval, init_prod):
+    """Host-scalar twin over F_{p^D} tuples (witness generation)."""
+    ev, prod = init_eval, init_prod
+    for x_i, v, w in zip(domain, values, weights):
+        term = fs.ext_sub(x, fs.ext_from_base(x_i, D))
+        wv = fs.ext_scalar_mul(w, v)
+        ev = fs.ext_add(fs.ext_mul(ev, term), fs.ext_mul(wv, prod))
+        prod = fs.ext_mul(prod, term)
+    return ev, prod
+
+
+class CosetInterpolationGate(Gate):
+    def __init__(self, subgroup_bits: int, max_degree: int | None = None):
+        if max_degree is None:
+            max_degree = 1 << subgroup_bits
+        assert max_degree > 1, "need at least quadratic constraints"
+        n_points = 1 << subgroup_bits
+        n_intermediates = (n_points - 2) // (max_degree - 1)
+        self.subgroup_bits = subgroup_bits
+        self._degree = (n_points - 2) // (n_intermediates + 1) + 2
+        self.barycentric_weights = subgroup_barycentric_weights(subgroup_bits)
+
+    def num_points(self) -> int:
+        return 1 << self.subgroup_bits
+
+    def wire_shift(self) -> int:
+        return 0
+
+    def _start_values(self) -> int:
+        return 1
+
+    def wires_value(self, i: int) -> range:
+        start = self._start_values() + i * D
+        return range(start, start + D)
+
+    def _start_evaluation_point(self) -> int:
+        return self._start_values() + self.num_points() * D
+
+    def wires_evaluation_point(self) -> range:
+        start = self._start_evaluation_point()
+        return range(start, start + D)
+
+    def _start_evaluation_value(self) -> int:
+        return self._start_evaluation_point() + D
+
+    def wires_evaluation_value(self) -> range:
+        start = self._start_evaluation_value()
+        return range(start, start + D)
+
+    def _start_intermediates(self) -> int:
+        return self._start_evaluation_value() + D
+
+    def num_routed_wires_used(self) -> int:
+        return self._start_intermediates()
+
+    def num_intermediates(self) -> int:
+        return (self.num_points() - 2) // (self._degree - 1)
+
+    def wires_intermediate_eval(self, i: int) -> range:
+        start = self._start_intermediates() + D * i
+        return range(start, start + D)
+
+    def wires_intermediate_prod(self, i: int) -> range:
+        start = self._start_intermediates() + D * (self.num_intermediates() + i)
+        return range(start, start + D)
+
+    def wires_shifted_evaluation_point(self) -> range:
+        start = self._start_intermediates() + D * 2 * self.num_intermediates()
+        return range(start, start + D)
+
+    def id(self) -> str:
+        return (
+            f"CosetInterpolationGate {{ subgroup_bits: {self.subgroup_bits}, "
+            f"degree: {self._degree} }}<D={D}>"
+        )
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        constraints = []
+        shift = vars.local_wires[self.wire_shift()]
+        evaluation_point = vars.get_local_ext_algebra(self.wires_evaluation_point())
+        shifted_evaluation_point = vars.get_local_ext_algebra(
+            self.wires_shifted_evaluation_point()
+        )
+        # evaluation_point == shift * shifted_evaluation_point
+        constraints.extend(
+            ealg_sub(ops, evaluation_point,
+                     tuple(ops.mul(shift, c) for c in shifted_evaluation_point))
+        )
+
+        domain = fs.two_adic_subgroup(self.subgroup_bits)
+        values = [vars.get_local_ext_algebra(self.wires_value(i))
+                  for i in range(self.num_points())]
+        weights = self.barycentric_weights
+        degree = self._degree
+
+        ev, prod = _partial_interpolate(
+            ops, domain[:degree], values[:degree], weights[:degree],
+            shifted_evaluation_point, ealg_zero(ops, D),
+            ealg_from_base(ops, ops.one(), D),
+        )
+        for i in range(self.num_intermediates()):
+            intermediate_eval = vars.get_local_ext_algebra(self.wires_intermediate_eval(i))
+            intermediate_prod = vars.get_local_ext_algebra(self.wires_intermediate_prod(i))
+            constraints.extend(ealg_sub(ops, intermediate_eval, ev))
+            constraints.extend(ealg_sub(ops, intermediate_prod, prod))
+            start = 1 + (degree - 1) * (i + 1)
+            end = min(start + degree - 1, self.num_points())
+            ev, prod = _partial_interpolate(
+                ops, domain[start:end], values[start:end], weights[start:end],
+                shifted_evaluation_point, intermediate_eval, intermediate_prod,
+            )
+
+        evaluation_value = vars.get_local_ext_algebra(self.wires_evaluation_value())
+        constraints.extend(ealg_sub(ops, evaluation_value, ev))
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [InterpolationGenerator(row, self.subgroup_bits, self._degree)]
+
+    def num_wires(self) -> int:
+        return self._start_intermediates() + D * (2 * self.num_intermediates() + 1)
+
+    def num_constants(self) -> int:
+        return 0
+
+    def degree(self) -> int:
+        return self._degree
+
+    def num_constraints(self) -> int:
+        return D + D + 2 * D * self.num_intermediates()
+
+
+class InterpolationGenerator(SimpleGenerator):
+    def __init__(self, row: int, subgroup_bits: int, degree: int):
+        self.row = row
+        self.subgroup_bits = subgroup_bits
+        self.degree = degree
+
+    def _gate(self) -> CosetInterpolationGate:
+        return CosetInterpolationGate(self.subgroup_bits, self.degree)
+
+    def dependencies(self):
+        gate = self._gate()
+        deps = [Wire(self.row, gate.wire_shift())]
+        deps += [Wire(self.row, w) for w in gate.wires_evaluation_point()]
+        for i in range(gate.num_points()):
+            deps += [Wire(self.row, w) for w in gate.wires_value(i)]
+        return deps
+
+    def run_once(self, witness, out):
+        gate = self._gate()
+        row = self.row
+        ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
+        set_ext = lambda rng, v: [
+            out.set_target(Wire(row, w), c) for w, c in zip(rng, v)
+        ]
+
+        evaluation_point = ext(gate.wires_evaluation_point())
+        shift = witness.get_target(Wire(row, gate.wire_shift()))
+        shifted_evaluation_point = fs.ext_scalar_mul(fs.inverse(shift), evaluation_point)
+        set_ext(gate.wires_shifted_evaluation_point(), shifted_evaluation_point)
+
+        domain = fs.two_adic_subgroup(gate.subgroup_bits)
+        values = [ext(gate.wires_value(i)) for i in range(gate.num_points())]
+        weights = gate.barycentric_weights
+        degree = gate._degree
+
+        ev, prod = _partial_interpolate_scalar(
+            domain[:degree], values[:degree], weights[:degree],
+            shifted_evaluation_point, fs.ext_zero(D), fs.ext_one(D),
+        )
+        for i in range(gate.num_intermediates()):
+            set_ext(gate.wires_intermediate_eval(i), ev)
+            set_ext(gate.wires_intermediate_prod(i), prod)
+            start = 1 + (degree - 1) * (i + 1)
+            end = min(start + degree - 1, gate.num_points())
+            ev, prod = _partial_interpolate_scalar(
+                domain[start:end], values[start:end], weights[start:end],
+                shifted_evaluation_point, ev, prod,
+            )
+        set_ext(gate.wires_evaluation_value(), ev)

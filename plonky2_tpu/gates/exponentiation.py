@@ -1,0 +1,103 @@
+"""ExponentiationGate: x^e with bit-decomposed exponent
+(reference gates/exponentiation.rs)."""
+
+from __future__ import annotations
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import Wire
+
+
+class ExponentiationGate(Gate):
+    def __init__(self, num_power_bits: int):
+        self.num_power_bits = num_power_bits
+
+    @staticmethod
+    def new_from_config(config) -> "ExponentiationGate":
+        max_routed = config.num_routed_wires - 2
+        max_wires = (config.num_wires - 2) // 2
+        return ExponentiationGate(min(max_routed, max_wires))
+
+    def wire_base(self) -> int:
+        return 0
+
+    def wire_power_bit(self, i: int) -> int:
+        return 1 + i
+
+    def wire_output(self) -> int:
+        return 1 + self.num_power_bits
+
+    def wire_intermediate_value(self, i: int) -> int:
+        return 2 + self.num_power_bits + i
+
+    def id(self) -> str:
+        return f"ExponentiationGate {{ num_power_bits: {self.num_power_bits} }}<D=2>"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        base = vars.local_wires[self.wire_base()]
+        power_bits = [vars.local_wires[self.wire_power_bit(i)] for i in range(self.num_power_bits)]
+        intermediates = [
+            vars.local_wires[self.wire_intermediate_value(i)]
+            for i in range(self.num_power_bits)
+        ]
+        output = vars.local_wires[self.wire_output()]
+
+        constraints = []
+        for i in range(self.num_power_bits):
+            prev = ops.one() if i == 0 else ops.square(intermediates[i - 1])
+            cur_bit = power_bits[self.num_power_bits - i - 1]
+            not_cur_bit = ops.sub(ops.one(), cur_bit)
+            computed = ops.mul(prev, ops.add(ops.mul(cur_bit, base), not_cur_bit))
+            constraints.append(ops.sub(computed, intermediates[i]))
+        constraints.append(ops.sub(output, intermediates[self.num_power_bits - 1]))
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [ExponentiationGenerator(row, self.num_power_bits)]
+
+    def num_wires(self) -> int:
+        return self.wire_intermediate_value(self.num_power_bits - 1) + 1
+
+    def num_constants(self) -> int:
+        return 0
+
+    def degree(self) -> int:
+        return 4
+
+    def num_constraints(self) -> int:
+        return self.num_power_bits + 1
+
+
+class ExponentiationGenerator(SimpleGenerator):
+    def __init__(self, row: int, num_power_bits: int):
+        self.row = row
+        self.num_power_bits = num_power_bits
+
+    def _gate(self) -> ExponentiationGate:
+        return ExponentiationGate(self.num_power_bits)
+
+    def dependencies(self):
+        gate = self._gate()
+        return [Wire(self.row, gate.wire_base())] + [
+            Wire(self.row, gate.wire_power_bit(i)) for i in range(self.num_power_bits)
+        ]
+
+    def run_once(self, witness, out):
+        gate = self._gate()
+        row = self.row
+        base = witness.get_target(Wire(row, gate.wire_base()))
+        bits = [
+            witness.get_target(Wire(row, gate.wire_power_bit(i)))
+            for i in range(self.num_power_bits)
+        ]
+        intermediates = []
+        cur = 1
+        for i in range(self.num_power_bits):
+            if bits[self.num_power_bits - i - 1] == 1:
+                cur = fs.mul(cur, base)
+            intermediates.append(cur)
+            cur = fs.mul(cur, cur)
+        for i, v in enumerate(intermediates):
+            out.set_target(Wire(row, gate.wire_intermediate_value(i)), v)
+        out.set_target(Wire(row, gate.wire_output()), intermediates[-1])

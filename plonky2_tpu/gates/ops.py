@@ -125,10 +125,57 @@ class HostBaseOps:
 
 
 class EvaluationVars:
-    """local_constants / local_wires are sequences of ops-domain values;
-    public_inputs_hash is 4 base ints (lifted on access)."""
+    """local_constants / local_wires / public_inputs_hash are sequences of
+    ops-domain values (pre-lifted by the caller)."""
 
     def __init__(self, local_constants, local_wires, public_inputs_hash):
         self.local_constants = local_constants
         self.local_wires = local_wires
         self.public_inputs_hash = public_inputs_hash
+
+    def get_local_ext_algebra(self, rng) -> tuple:
+        """D consecutive wires as an extension-algebra element
+        (reference plonk/vars.rs get_local_ext_algebra)."""
+        return tuple(self.local_wires[i] for i in rng)
+
+
+# -- extension algebra over the ops domain -----------------------------------
+# F_{p^D}[X]/(X^D - W) with coefficients that are themselves ops-domain
+# values (reference field/src/extension/algebra.rs). Elements are D-tuples.
+
+_EALG_W = 7  # W for D=2 Goldilocks (scalar.EXT_W[2])
+
+
+def ealg_zero(ops, d: int = 2) -> tuple:
+    return tuple(ops.zero() for _ in range(d))
+
+
+def ealg_from_base(ops, x, d: int = 2) -> tuple:
+    return (x,) + tuple(ops.zero() for _ in range(d - 1))
+
+
+def ealg_add(ops, a, b) -> tuple:
+    return tuple(ops.add(x, y) for x, y in zip(a, b))
+
+
+def ealg_sub(ops, a, b) -> tuple:
+    return tuple(ops.sub(x, y) for x, y in zip(a, b))
+
+
+def ealg_scalar_mul(ops, c, a) -> tuple:
+    """c is an ops-domain value (the algebra's scalar field)."""
+    return tuple(ops.mul(c, x) for x in a)
+
+
+def ealg_mul(ops, a, b, w: int = _EALG_W) -> tuple:
+    d = len(a)
+    acc = [ops.zero()] * d
+    for i in range(d):
+        for j in range(d):
+            k = i + j
+            t = ops.mul(a[i], b[j])
+            if k >= d:
+                k -= d
+                t = ops.mul_const(w, t)
+            acc[k] = ops.add(acc[k], t)
+    return tuple(acc)

@@ -1,0 +1,147 @@
+"""RandomAccessGate: in-circuit array indexing via bit-decomposed index
+(reference gates/random_access.rs)."""
+
+from __future__ import annotations
+
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import Wire
+
+
+class RandomAccessGate(Gate):
+    def __init__(self, bits: int, num_copies: int, num_extra_constants: int):
+        self.bits = bits
+        self.num_copies = num_copies
+        self.num_extra_constants = num_extra_constants
+
+    @staticmethod
+    def new_from_config(config, bits: int) -> "RandomAccessGate":
+        vec_size = 1 << bits
+        max_copies = min(
+            config.num_routed_wires // (2 + vec_size),
+            config.num_wires // (2 + vec_size + bits),
+        )
+        max_extra_constants = config.num_routed_wires - (2 + vec_size) * max_copies
+        return RandomAccessGate(
+            bits, max_copies, min(max_extra_constants, config.num_constants)
+        )
+
+    def vec_size(self) -> int:
+        return 1 << self.bits
+
+    def wire_access_index(self, copy: int) -> int:
+        return (2 + self.vec_size()) * copy
+
+    def wire_claimed_element(self, copy: int) -> int:
+        return (2 + self.vec_size()) * copy + 1
+
+    def wire_list_item(self, i: int, copy: int) -> int:
+        return (2 + self.vec_size()) * copy + 2 + i
+
+    def _start_extra_constants(self) -> int:
+        return (2 + self.vec_size()) * self.num_copies
+
+    def wire_extra_constant(self, i: int) -> int:
+        return self._start_extra_constants() + i
+
+    def num_routed_wires_used(self) -> int:
+        return self._start_extra_constants() + self.num_extra_constants
+
+    def wire_bit(self, i: int, copy: int) -> int:
+        return self.num_routed_wires_used() + copy * self.bits + i
+
+    def id(self) -> str:
+        return (
+            f"RandomAccessGate {{ bits: {self.bits}, num_copies: {self.num_copies}, "
+            f"num_extra_constants: {self.num_extra_constants} }}<D=2>"
+        )
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        constraints = []
+        for copy in range(self.num_copies):
+            access_index = vars.local_wires[self.wire_access_index(copy)]
+            list_items = [
+                vars.local_wires[self.wire_list_item(i, copy)]
+                for i in range(self.vec_size())
+            ]
+            claimed = vars.local_wires[self.wire_claimed_element(copy)]
+            bits = [vars.local_wires[self.wire_bit(i, copy)] for i in range(self.bits)]
+
+            for b in bits:
+                constraints.append(ops.mul(b, ops.sub(b, ops.one())))
+
+            reconstructed = ops.zero()
+            for b in reversed(bits):
+                reconstructed = ops.add(ops.add(reconstructed, reconstructed), b)
+            constraints.append(ops.sub(reconstructed, access_index))
+
+            for b in bits:
+                list_items = [
+                    ops.add(x, ops.mul(b, ops.sub(y, x)))
+                    for x, y in zip(list_items[::2], list_items[1::2])
+                ]
+            assert len(list_items) == 1
+            constraints.append(ops.sub(list_items[0], claimed))
+
+        for i in range(self.num_extra_constants):
+            constraints.append(
+                ops.sub(vars.local_constants[i],
+                        vars.local_wires[self.wire_extra_constant(i)])
+            )
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [
+            RandomAccessGenerator(row, self.bits, self.num_copies,
+                                  self.num_extra_constants, copy)
+            for copy in range(self.num_copies)
+        ]
+
+    def extra_constant_wires(self) -> list[tuple[int, int]]:
+        return [(i, self.wire_extra_constant(i)) for i in range(self.num_extra_constants)]
+
+    def num_wires(self) -> int:
+        return self.wire_bit(self.bits - 1, self.num_copies - 1) + 1
+
+    def num_constants(self) -> int:
+        return self.num_extra_constants
+
+    def degree(self) -> int:
+        return self.bits + 1
+
+    def num_constraints(self) -> int:
+        return self.num_copies * (self.bits + 2) + self.num_extra_constants
+
+
+class RandomAccessGenerator(SimpleGenerator):
+    def __init__(self, row, bits, num_copies, num_extra_constants, copy):
+        self.row = row
+        self.bits = bits
+        self.num_copies = num_copies
+        self.num_extra_constants = num_extra_constants
+        self.copy = copy
+
+    def _gate(self) -> RandomAccessGate:
+        return RandomAccessGate(self.bits, self.num_copies, self.num_extra_constants)
+
+    def dependencies(self):
+        gate = self._gate()
+        return [Wire(self.row, gate.wire_access_index(self.copy))] + [
+            Wire(self.row, gate.wire_list_item(i, self.copy))
+            for i in range(gate.vec_size())
+        ]
+
+    def run_once(self, witness, out):
+        gate = self._gate()
+        row, copy = self.row, self.copy
+        access_index = witness.get_target(Wire(row, gate.wire_access_index(copy)))
+        vec_size = gate.vec_size()
+        assert access_index < vec_size, (
+            f"Access index {access_index} is larger than the vector size {vec_size}"
+        )
+        out.set_target(
+            Wire(row, gate.wire_claimed_element(copy)),
+            witness.get_target(Wire(row, gate.wire_list_item(access_index, copy))),
+        )
+        for i in range(gate.bits):
+            out.set_target(Wire(row, gate.wire_bit(i, copy)), (access_index >> i) & 1)

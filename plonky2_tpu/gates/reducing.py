@@ -1,0 +1,199 @@
+"""ReducingGate / ReducingExtensionGate: Horner steps for alpha-reductions
+(reference gates/reducing.rs, gates/reducing_extension.rs)."""
+
+from __future__ import annotations
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.gates.gate import Gate
+from plonky2_tpu.gates.ops import ealg_add, ealg_from_base, ealg_mul, ealg_sub
+from plonky2_tpu.iop.generator import SimpleGenerator
+from plonky2_tpu.iop.target import ExtensionTarget, Wire
+
+D = 2
+
+
+def _ext_target(row, rng):
+    return ExtensionTarget(tuple(Wire(row, w) for w in rng))
+
+
+class ReducingGate(Gate):
+    """acc' = acc * alpha + c for base-field coefficients c."""
+
+    def __init__(self, num_coeffs: int):
+        self.num_coeffs = num_coeffs
+
+    @staticmethod
+    def max_coeffs_len(num_wires: int, num_routed_wires: int) -> int:
+        return min(num_routed_wires - 3 * D, (num_wires - 2 * D) // (D + 1))
+
+    @staticmethod
+    def wires_output() -> range:
+        return range(0, D)
+
+    @staticmethod
+    def wires_alpha() -> range:
+        return range(D, 2 * D)
+
+    @staticmethod
+    def wires_old_acc() -> range:
+        return range(2 * D, 3 * D)
+
+    START_COEFFS = 3 * D
+
+    def wires_coeffs(self) -> range:
+        return range(self.START_COEFFS, self.START_COEFFS + self.num_coeffs)
+
+    def _start_accs(self) -> int:
+        return self.START_COEFFS + self.num_coeffs
+
+    def wires_accs(self, i: int) -> range:
+        if i == self.num_coeffs - 1:
+            return self.wires_output()
+        return range(self._start_accs() + D * i, self._start_accs() + D * (i + 1))
+
+    def id(self) -> str:
+        return f"ReducingGate {{ num_coeffs: {self.num_coeffs} }}"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        alpha = vars.get_local_ext_algebra(self.wires_alpha())
+        old_acc = vars.get_local_ext_algebra(self.wires_old_acc())
+        coeffs = [vars.local_wires[i] for i in self.wires_coeffs()]
+        accs = [vars.get_local_ext_algebra(self.wires_accs(i)) for i in range(self.num_coeffs)]
+
+        constraints = []
+        acc = old_acc
+        for i in range(self.num_coeffs):
+            computed = ealg_add(ops, ealg_mul(ops, acc, alpha),
+                                ealg_from_base(ops, coeffs[i], D))
+            constraints.extend(ealg_sub(ops, computed, accs[i]))
+            acc = accs[i]
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [ReducingGenerator(row, self.num_coeffs)]
+
+    def num_wires(self) -> int:
+        return 2 * D + self.num_coeffs * (D + 1)
+
+    def num_constants(self) -> int:
+        return 0
+
+    def degree(self) -> int:
+        return 2
+
+    def num_constraints(self) -> int:
+        return D * self.num_coeffs
+
+
+class ReducingGenerator(SimpleGenerator):
+    def __init__(self, row: int, num_coeffs: int):
+        self.row = row
+        self.num_coeffs = num_coeffs
+
+    def _gate(self):
+        return ReducingGate(self.num_coeffs)
+
+    def dependencies(self):
+        gate = self._gate()
+        cols = list(gate.wires_alpha()) + list(gate.wires_old_acc()) + list(gate.wires_coeffs())
+        return [Wire(self.row, c) for c in cols]
+
+    def run_once(self, witness, out):
+        gate = self._gate()
+        row = self.row
+        ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
+        alpha = ext(gate.wires_alpha())
+        acc = ext(gate.wires_old_acc())
+        coeffs = [witness.get_target(Wire(row, i)) for i in gate.wires_coeffs()]
+        for i in range(gate.num_coeffs):
+            acc = fs.ext_add(fs.ext_mul(acc, alpha), fs.ext_from_base(coeffs[i], D))
+            out.set_extension_target(_ext_target(row, gate.wires_accs(i)), acc)
+        out.set_extension_target(_ext_target(row, gate.wires_output()), acc)
+
+
+class ReducingExtensionGate(Gate):
+    """acc' = acc * alpha + c for extension-field coefficients c."""
+
+    def __init__(self, num_coeffs: int):
+        self.num_coeffs = num_coeffs
+
+    @staticmethod
+    def max_coeffs_len(num_wires: int, num_routed_wires: int) -> int:
+        return min((num_routed_wires - 3 * D) // D, (num_wires - 2 * D) // (2 * D))
+
+    wires_output = staticmethod(ReducingGate.wires_output)
+    wires_alpha = staticmethod(ReducingGate.wires_alpha)
+    wires_old_acc = staticmethod(ReducingGate.wires_old_acc)
+    START_COEFFS = 3 * D
+
+    @staticmethod
+    def wires_coeff(i: int) -> range:
+        return range(ReducingExtensionGate.START_COEFFS + i * D,
+                     ReducingExtensionGate.START_COEFFS + (i + 1) * D)
+
+    def _start_accs(self) -> int:
+        return self.START_COEFFS + self.num_coeffs * D
+
+    def wires_accs(self, i: int) -> range:
+        if i == self.num_coeffs - 1:
+            return self.wires_output()
+        return range(self._start_accs() + D * i, self._start_accs() + D * (i + 1))
+
+    def id(self) -> str:
+        return f"ReducingExtensionGate {{ num_coeffs: {self.num_coeffs} }}"
+
+    def eval_unfiltered(self, ops, vars) -> list:
+        alpha = vars.get_local_ext_algebra(self.wires_alpha())
+        old_acc = vars.get_local_ext_algebra(self.wires_old_acc())
+        coeffs = [vars.get_local_ext_algebra(self.wires_coeff(i)) for i in range(self.num_coeffs)]
+        accs = [vars.get_local_ext_algebra(self.wires_accs(i)) for i in range(self.num_coeffs)]
+
+        constraints = []
+        acc = old_acc
+        for i in range(self.num_coeffs):
+            computed = ealg_add(ops, ealg_mul(ops, acc, alpha), coeffs[i])
+            constraints.extend(ealg_sub(ops, computed, accs[i]))
+            acc = accs[i]
+        return constraints
+
+    def generators(self, row: int, local_constants) -> list:
+        return [ReducingExtensionGenerator(row, self.num_coeffs)]
+
+    def num_wires(self) -> int:
+        return 2 * D + 2 * D * self.num_coeffs
+
+    def num_constants(self) -> int:
+        return 0
+
+    def degree(self) -> int:
+        return 2
+
+    def num_constraints(self) -> int:
+        return D * self.num_coeffs
+
+
+class ReducingExtensionGenerator(SimpleGenerator):
+    def __init__(self, row: int, num_coeffs: int):
+        self.row = row
+        self.num_coeffs = num_coeffs
+
+    def _gate(self):
+        return ReducingExtensionGate(self.num_coeffs)
+
+    def dependencies(self):
+        gate = self._gate()
+        cols = list(gate.wires_alpha()) + list(gate.wires_old_acc())
+        for i in range(gate.num_coeffs):
+            cols += list(gate.wires_coeff(i))
+        return [Wire(self.row, c) for c in cols]
+
+    def run_once(self, witness, out):
+        gate = self._gate()
+        row = self.row
+        ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
+        alpha = ext(gate.wires_alpha())
+        acc = ext(gate.wires_old_acc())
+        for i in range(gate.num_coeffs):
+            acc = fs.ext_add(fs.ext_mul(acc, alpha), ext(gate.wires_coeff(i)))
+            out.set_extension_target(_ext_target(row, gate.wires_accs(i)), acc)
+        out.set_extension_target(_ext_target(row, gate.wires_output()), acc)
