@@ -59,6 +59,35 @@ def div(a: int, b: int) -> int:
     return mul(a, inverse(b))
 
 
+def sqrt(a: int) -> int | None:
+    """Tonelli-Shanks square root (reference field/src/types.rs PrimeField
+    sqrt); returns None if `a` is a non-residue."""
+    if a == 0:
+        return 0
+    if pow(a, (P - 1) // 2, P) != 1:
+        return None
+    # p - 1 = q * 2^s with q odd; s = TWO_ADICITY
+    s = TWO_ADICITY
+    q = (P - 1) >> s
+    z = MULTIPLICATIVE_GROUP_GENERATOR  # generator -> non-residue^q has order 2^s
+    m = s
+    c = pow(z, q, P)
+    t = pow(a, q, P)
+    r = pow(a, (q + 1) // 2, P)
+    while t != 1:
+        t2 = t
+        i = 0
+        while t2 != 1:
+            t2 = mul(t2, t2)
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m = i
+        c = mul(b, b)
+        t = mul(t, c)
+        r = mul(r, b)
+    return r
+
+
 def from_noncanonical_u64(x: int) -> int:
     """Reduce an arbitrary u64 to canonical form."""
     return x % P

@@ -139,6 +139,49 @@ class EvaluationVars:
         return tuple(self.local_wires[i] for i in rng)
 
 
+class CircuitOps:
+    """Ops backend emitting circuit operations over ExtensionTargets — the
+    in-circuit dual (reference `eval_unfiltered_circuit`). Because every gate
+    and the vanishing polynomial are written once against the ops protocol,
+    constraint ORDER matches the native evaluations by construction (the
+    reference must maintain this by hand, gates/gate.rs:122-132)."""
+
+    def __init__(self, builder):
+        self.builder = builder
+
+    def constant(self, c):
+        if isinstance(c, int):
+            return self.builder.constant_extension(c % ((1 << 64) - (1 << 32) + 1))
+        return self.builder.constant_extension(c)
+
+    def zero(self):
+        return self.builder.zero_extension()
+
+    def one(self):
+        return self.builder.one_extension()
+
+    def add(self, a, b):
+        return self.builder.add_extension(a, b)
+
+    def sub(self, a, b):
+        return self.builder.sub_extension(a, b)
+
+    def mul(self, a, b):
+        return self.builder.mul_extension(a, b)
+
+    def square(self, a):
+        return self.builder.square_extension(a)
+
+    def neg(self, a):
+        return self.builder.mul_const_extension(-1, a)
+
+    def add_const(self, a, c: int):
+        return self.builder.add_const_extension(a, c)
+
+    def mul_const(self, c: int, a):
+        return self.builder.mul_const_extension(c, a)
+
+
 # -- extension algebra over the ops domain -----------------------------------
 # F_{p^D}[X]/(X^D - W) with coefficients that are themselves ops-domain
 # values (reference field/src/extension/algebra.rs). Elements are D-tuples.

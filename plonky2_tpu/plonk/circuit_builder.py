@@ -50,7 +50,11 @@ class GateInstance:
         self.constants = constants
 
 
-class CircuitBuilder:
+from plonky2_tpu.gadgets.extension_arithmetic import ExtensionArithmeticMixin
+from plonky2_tpu.gadgets.recursion_gadgets import RecursionGadgetsMixin
+
+
+class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[GateInstance] = []
@@ -302,6 +306,41 @@ class CircuitBuilder:
     def div(self, x: Target, y: Target) -> Target:
         y_inv = self.inverse(y)
         return self.mul(x, y_inv)
+
+    # -- bit decomposition / range checks -----------------------------------
+
+    def split_le(self, integer: Target, num_bits: int):
+        from plonky2_tpu.gadgets.split_join import split_le
+
+        return split_le(self, integer, num_bits)
+
+    def range_check(self, x: Target, n_log: int) -> None:
+        from plonky2_tpu.gadgets.split_join import range_check
+
+        range_check(self, x, n_log)
+
+    def low_bits(self, x: Target, num_low_bits: int, num_bits: int):
+        from plonky2_tpu.gadgets.split_join import low_bits
+
+        return low_bits(self, x, num_low_bits, num_bits)
+
+    def split_low_high(self, x: Target, n_log: int, num_bits: int):
+        from plonky2_tpu.gadgets.split_join import split_low_high
+
+        return split_low_high(self, x, n_log, num_bits)
+
+    def exp_u64(self, base: Target, exponent: int) -> Target:
+        """base^exponent for a constant exponent (square-and-multiply)."""
+        result = self.one()
+        b = base
+        e = exponent
+        while e > 0:
+            if e & 1:
+                result = self.mul(result, b)
+            e >>= 1
+            if e:
+                b = self.square(b)
+        return result
 
     # -- assertions ---------------------------------------------------------
 

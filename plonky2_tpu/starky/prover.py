@@ -1,0 +1,245 @@
+"""STARK prover (reference starky/src/prover.rs:40-470), TPU-native.
+
+Trace/aux/quotient commitments reuse the PolynomialBatch device pipeline;
+the quotient evaluation runs all AIR constraints over the full quotient
+coset domain as ONE fused tensorized XLA program (replacing the reference's
+32-point packed-SIMD chunking, prover.rs:486-539).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.field import ntt
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.fri.oracle import PolynomialBatch
+from plonky2_tpu.gates.ops import DeviceBaseOps
+from plonky2_tpu.iop.challenger import Challenger
+from plonky2_tpu.starky.constraint_consumer import ConstraintConsumer
+from plonky2_tpu.starky.evaluation_frame import StarkFrame
+from plonky2_tpu.starky.proof import (
+    StarkOpeningSet,
+    StarkProof,
+    StarkProofWithPublicInputs,
+)
+from plonky2_tpu.starky.vanishing import (
+    compute_eval_vanishing_poly,
+    eval_vanishing_poly,
+    get_dummy_polys,
+)
+from plonky2_tpu.util import TimingTree, log2_strict
+
+
+def prove(stark, config, trace_poly_values, public_inputs,
+          verifier_circuit_fri_params=None,
+          timing: TimingTree | None = None) -> StarkProofWithPublicInputs:
+    timing = timing or TimingTree("starky prove")
+    trace_poly_values = np.asarray(trace_poly_values, dtype=np.uint64)  # [cols, n]
+    degree = trace_poly_values.shape[-1]
+    degree_bits = log2_strict(degree)
+    fri_params = config.fri_params(degree_bits)
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height
+
+    final_poly_coeff_len = max_num_query_steps = None
+    if verifier_circuit_fri_params is not None:
+        final_poly_coeff_len = 2 * verifier_circuit_fri_params.final_poly_len()
+        max_num_query_steps = len(verifier_circuit_fri_params.reduction_arity_bits)
+
+    with timing.scope("compute trace commitment"):
+        trace_commitment = PolynomialBatch.from_values(
+            trace_poly_values, rate_bits, False, cap_height
+        )
+
+    challenger = Challenger()
+    challenger.observe_elements(public_inputs)
+    config.observe(challenger)
+    challenger.observe_cap(trace_commitment.merkle_tree.cap)
+
+    return prove_with_commitment(
+        stark, config, trace_poly_values, trace_commitment, challenger,
+        public_inputs, final_poly_coeff_len, max_num_query_steps, timing,
+    )
+
+
+def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
+                          challenger, public_inputs, final_poly_coeff_len,
+                          max_num_query_steps, timing) -> StarkProofWithPublicInputs:
+    degree = trace_poly_values.shape[-1]
+    degree_bits = log2_strict(degree)
+    fri_params = config.fri_params(degree_bits)
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+
+    constraint_degree = stark.constraint_degree()
+    assert constraint_degree <= (1 << rate_bits) + 1, (
+        "The degree of the Stark constraints must be <= blowup_factor + 1"
+    )
+    assert not stark.uses_lookups() and not stark.requires_ctls(), (
+        "lookups/CTLs not yet supported in the TPU starky prover"
+    )
+    auxiliary_polys_commitment = None
+    num_auxiliary_polys = 0
+
+    alphas_prime = challenger.get_n_challenges(config.num_challenges)
+
+    g_root = fs.primitive_root_of_unity(degree_bits)
+
+    # Constraint binding (reference prover.rs:261-370): evaluate constraints
+    # on simulated openings, observe, then draw the real quotient alphas.
+    pow_degree = max(2, constraint_degree + 1)
+    poly_evals = get_dummy_polys(
+        challenger, stark.COLUMNS, num_auxiliary_polys, pow_degree
+    )
+    zeta_prime = challenger.get_extension_challenge(2)
+    constraints = compute_eval_vanishing_poly(
+        stark, poly_evals, public_inputs, alphas_prime, zeta_prime, degree_bits
+    )
+    challenger.observe_extension_elements(constraints)
+
+    alphas = challenger.get_n_challenges(config.num_challenges)
+
+    with timing.scope("compute quotient polys"):
+        quotient_chunks = _compute_quotient_polys(
+            stark, config, trace_commitment, public_inputs, alphas, degree_bits
+        )
+
+    with timing.scope("compute quotient commitment"):
+        quotient_commitment = PolynomialBatch.from_coeffs(
+            quotient_chunks, rate_bits, False, cap_height
+        )
+    challenger.observe_cap(quotient_commitment.merkle_tree.cap)
+
+    zeta = challenger.get_extension_challenge(2)
+    if fs.ext_exp(zeta, degree) == fs.ext_one(2):
+        raise ValueError("Opening point is in the subgroup.")
+
+    with timing.scope("openings"):
+        openings = _opening_set(zeta, g_root, trace_commitment, quotient_commitment)
+
+    for batch in openings.to_fri_openings().batches:
+        challenger.observe_extension_elements(batch.values)
+
+    instance = stark.fri_instance(zeta, g_root, 0, [], config)
+    with timing.scope("FRI opening proof"):
+        opening_proof = PolynomialBatch.prove_openings(
+            instance,
+            [trace_commitment, quotient_commitment],
+            challenger,
+            fri_params,
+            final_poly_coeff_len=final_poly_coeff_len,
+            max_num_query_steps=max_num_query_steps,
+        )
+
+    proof = StarkProof(
+        trace_cap=trace_commitment.merkle_tree.cap,
+        auxiliary_polys_cap=None,
+        quotient_polys_cap=quotient_commitment.merkle_tree.cap,
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return StarkProofWithPublicInputs(proof=proof, public_inputs=list(public_inputs))
+
+
+_QUOTIENT_FN_CACHE: dict = {}
+
+
+def _make_quotient_fn(stark, config, degree_bits: int):
+    """One fused device program: all AIR constraints over the quotient coset
+    (reference compute_quotient_polys, prover.rs:488-670)."""
+    qdf = stark.quotient_degree_factor()
+    qd_bits = (qdf - 1).bit_length()  # log2_ceil(qdf)
+    n = 1 << degree_bits
+    num_challenges = config.num_challenges
+
+    def f(trace_q, next_trace_q, pis, alphas, xs, z_h_inv, l_first, l_last, z_last):
+        ops = DeviceBaseOps()
+        frame = StarkFrame(
+            [trace_q[i] for i in range(trace_q.shape[0])],
+            [next_trace_q[i] for i in range(next_trace_q.shape[0])],
+            [pis[i] for i in range(pis.shape[0])],
+        )
+        consumer = ConstraintConsumer(
+            ops,
+            [alphas[i] for i in range(num_challenges)],
+            z_last, l_first, l_last,
+        )
+        eval_vanishing_poly(ops, stark, frame, consumer)
+        evals = jnp.stack(consumer.accumulators())  # [nc, Q]
+        quotient_values = g.mul(evals, z_h_inv[None])
+        coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
+        return coeffs.reshape(-1, n)  # [nc*qdf, n]
+
+    return jax.jit(f), qd_bits
+
+
+def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
+                            alphas, degree_bits: int):
+    key = (id(stark), id(config), degree_bits)
+    cached = _QUOTIENT_FN_CACHE.get(key)
+    if cached is None:
+        cached = _make_quotient_fn(stark, config, degree_bits)
+        _QUOTIENT_FN_CACHE[key] = cached
+    fn, qd_bits = cached
+
+    n = 1 << degree_bits
+    Q = n << qd_bits
+    rate_bits = config.fri_config.rate_bits
+    assert qd_bits <= rate_bits, (
+        "Having constraints of degree higher than the rate is not supported yet."
+    )
+    step = 1 << (rate_bits - qd_bits)
+    next_step = 1 << qd_bits
+
+    trace_q = trace_commitment.lde[:, ::step]  # [cols, Q] natural order
+    next_trace_q = jnp.roll(trace_q, -next_step, axis=1)
+
+    # domain points and periodic Z_H / Lagrange-selector tables
+    v = fs.primitive_root_of_unity(qd_bits + degree_bits)
+    xs = g.np_powers(v, Q)
+    xs = np.asarray(
+        (xs.astype(object) * fs.MULTIPLICATIVE_GROUP_GENERATOR) % fs.P, dtype=np.uint64
+    )
+    u = fs.exp(v, n)
+    shift_pow_n = fs.exp(fs.MULTIPLICATIVE_GROUP_GENERATOR, n)
+    z_h_vals = [fs.sub(fs.mul(shift_pow_n, fs.exp(u, j)), 1) for j in range(1 << qd_bits)]
+    z_h_inv = np.tile(
+        np.asarray(fs.batch_inverse(z_h_vals), dtype=np.uint64), Q // (1 << qd_bits)
+    )
+
+    # Lagrange first/last selectors LDE'd onto the quotient coset
+    sel_first = np.zeros((n,), dtype=np.uint64)
+    sel_first[0] = 1
+    sel_last = np.zeros((n,), dtype=np.uint64)
+    sel_last[n - 1] = 1
+    sel = jnp.asarray(np.stack([sel_first, sel_last]))
+    sel_lde = ntt.coset_lde(ntt.ifft(sel), qd_bits)  # [2, Q]
+
+    last = fs.inverse(fs.primitive_root_of_unity(degree_bits))
+    z_last = g.sub(jnp.asarray(xs), jnp.asarray(np.uint64(last)))
+
+    return fn(
+        trace_q, next_trace_q,
+        jnp.asarray(np.asarray(public_inputs, dtype=np.uint64)),
+        jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
+        jnp.asarray(xs), jnp.asarray(z_h_inv),
+        sel_lde[0], sel_lde[1], z_last,
+    )
+
+
+def _opening_set(zeta, g_root, trace_commitment, quotient_commitment) -> StarkOpeningSet:
+    from plonky2_tpu.plonk.prover import _eval_commitment
+
+    zeta_next = fs.ext_scalar_mul(g_root, zeta)
+    return StarkOpeningSet(
+        local_values=_eval_commitment(zeta, trace_commitment),
+        next_values=_eval_commitment(zeta_next, trace_commitment),
+        auxiliary_polys=None,
+        auxiliary_polys_next=None,
+        ctl_zs_first=None,
+        quotient_polys=_eval_commitment(zeta, quotient_commitment),
+    )
