@@ -100,7 +100,7 @@ def add_virtual_fri_proof(builder, num_leaves_per_oracle: list[int], params) -> 
 
 def _add_virtual_fri_query(builder, num_leaves_per_oracle, params) -> FriQueryRoundTarget:
     cap_height = params.config.cap_height
-    lde_bits = params.lde_bits()
+    lde_bits = params.lde_bits
     initial = FriInitialTreeProofTarget(
         evals_proofs=[
             (builder.add_virtual_targets(n),
@@ -170,7 +170,7 @@ def fri_combine_initial(builder, instance, proof_t: FriInitialTreeProofTarget,
 def verify_fri_proof(builder, instance, openings_t, challenges_t: FriChallengesTarget,
                      initial_merkle_caps_t, proof_t: FriProofTarget, params) -> None:
     assert params.final_poly_len() == len(proof_t.final_poly)
-    n = params.lde_size()
+    n = params.lde_size
 
     fri_verify_proof_of_work(builder, challenges_t.fri_pow_response, params.config)
     assert params.config.num_query_rounds == len(proof_t.query_round_proofs)

@@ -26,6 +26,11 @@ class RandomAccessGate(Gate):
             bits, max_copies, min(max_extra_constants, config.num_constants)
         )
 
+    @property
+    def num_ops(self) -> int:
+        """Slot count for find_slot batching (one copy per slot)."""
+        return self.num_copies
+
     def vec_size(self) -> int:
         return 1 << self.bits
 
