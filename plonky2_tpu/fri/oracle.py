@@ -22,7 +22,7 @@ from plonky2_tpu.field import goldilocks as g
 from plonky2_tpu.field import ntt
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.fri.prover import fri_proof
-from plonky2_tpu.hash.merkle import MerkleTree
+from plonky2_tpu.hash.merkle import make_merkle_tree
 from plonky2_tpu.util import reverse_bits
 
 SALT_SIZE = 4
@@ -62,26 +62,30 @@ class PolynomialBatch:
         self.blinding = blinding
 
     @staticmethod
-    def from_values(values, rate_bits: int, blinding: bool, cap_height: int) -> "PolynomialBatch":
+    def from_values(values, rate_bits: int, blinding: bool, cap_height: int,
+                    hasher=None) -> "PolynomialBatch":
         values = jnp.asarray(np.asarray(values, dtype=np.uint64))
         n = values.shape[-1]
         coeffs, lde, leaves = _values_to_lde_leaves(values, rate_bits, SALT_SIZE if blinding else 0)
-        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height)
+        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
+                                       cap_height, hasher)
 
     @staticmethod
-    def from_coeffs(coeffs, rate_bits: int, blinding: bool, cap_height: int) -> "PolynomialBatch":
+    def from_coeffs(coeffs, rate_bits: int, blinding: bool, cap_height: int,
+                    hasher=None) -> "PolynomialBatch":
         coeffs = jnp.asarray(np.asarray(coeffs, dtype=np.uint64))
         n = coeffs.shape[-1]
         lde, leaves = _coeffs_to_lde_leaves(coeffs, rate_bits)
-        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height)
+        return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
+                                       cap_height, hasher)
 
     @staticmethod
-    def _finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height):
+    def _finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height, hasher=None):
         if blinding:
             # Salt columns are fresh randomness, not transcript-bound; host RNG.
             salt = np.random.randint(0, fs.P, size=(leaves.shape[0], SALT_SIZE), dtype=np.uint64)
             leaves = jnp.concatenate([leaves, jnp.asarray(salt)], axis=1)
-        tree = MerkleTree(leaves, cap_height)
+        tree = make_merkle_tree(leaves, cap_height, hasher)
         return PolynomialBatch(coeffs, lde, tree, n.bit_length() - 1, rate_bits, blinding)
 
     @property
@@ -99,7 +103,8 @@ class PolynomialBatch:
 
     @staticmethod
     def prove_openings(instance, oracles, challenger, fri_params,
-                       final_poly_coeff_len=None, max_num_query_steps=None, timing=None):
+                       final_poly_coeff_len=None, max_num_query_steps=None, timing=None,
+                       hasher=None):
         """Reference fri/oracle.rs:176-237; returns FriProof."""
         alpha = challenger.get_extension_challenge(2)
 
@@ -133,6 +138,7 @@ class PolynomialBatch:
             fri_params,
             final_poly_coeff_len=final_poly_coeff_len,
             max_num_query_steps=max_num_query_steps,
+            hasher=hasher,
         )
 
 

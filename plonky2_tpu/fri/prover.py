@@ -29,16 +29,18 @@ from plonky2_tpu.fri.proof import (
     FriQueryStep,
 )
 from plonky2_tpu.hash import poseidon as ps
-from plonky2_tpu.hash.merkle import MerkleTree
+from plonky2_tpu.hash.merkle import MerkleTree, make_merkle_tree
 
 
 def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
-              final_poly_coeff_len=None, max_num_query_steps=None) -> FriProof:
+              final_poly_coeff_len=None, max_num_query_steps=None,
+              hasher=None) -> FriProof:
     """final_coeffs: ext coeff arrays (c0, c1), length 2^degree_bits (trimmed)."""
     n = fri_params.lde_size
 
     trees, final_poly = _fri_committed_trees(
-        final_coeffs, challenger, fri_params, final_poly_coeff_len, max_num_query_steps
+        final_coeffs, challenger, fri_params, final_poly_coeff_len, max_num_query_steps,
+        hasher=hasher,
     )
 
     pow_witness = fri_proof_of_work(challenger, fri_params.config)
@@ -91,7 +93,7 @@ def _fold_coeffs_and_relde(coeffs, beta, arity_bits, rate_bits_shift):
 
 
 def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
-                         max_num_query_steps):
+                         max_num_query_steps, hasher=None):
     rate_bits = fri_params.config.rate_bits
     cap_height = fri_params.config.cap_height
     shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
@@ -102,7 +104,7 @@ def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
     for arity_bits in fri_params.reduction_arity_bits:
         lg_len = values[0].shape[0].bit_length() - 1
         leaves = _fold_step_leaves(values, arity_bits, lg_len)
-        tree = MerkleTree(leaves, cap_height)
+        tree = make_merkle_tree(leaves, cap_height, hasher)
         trees.append(tree)
         challenger.observe_cap(tree.cap)
         beta = challenger.get_extension_challenge(2)
@@ -164,6 +166,13 @@ def _grind_chunk(intermediate, witness_pos, start, pow_bits):
 def fri_proof_of_work(challenger, config) -> int:
     """Grind for a witness making the next challenge have pow_bits leading
     zeros (reference fri/prover.rs:152-202). Any valid witness verifies."""
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
+    if challenger.hasher is not PoseidonHasher and not getattr(
+        challenger.hasher, "algebraic", True
+    ):
+        return _fri_proof_of_work_host(challenger, config)
+
     pow_bits = config.proof_of_work_bits
     intermediate = list(challenger.sponge_state)
     witness_pos = len(challenger.input_buffer)
@@ -220,3 +229,54 @@ def _fri_prover_query_round(initial_merkle_trees, trees, x_index, fri_params):
         initial_trees_proof=FriInitialTreeProof(evals_proofs=initial_proof),
         steps=steps,
     )
+
+
+def _fri_proof_of_work_host(challenger, config) -> int:
+    """Host grind for non-algebraic (keccak) transcripts, vectorized over
+    candidate batches with the numpy keccak."""
+    from plonky2_tpu.hash import keccak as kk
+
+    pow_bits = config.proof_of_work_bits
+    threshold = 1 << (64 - pow_bits)
+    base_state = list(challenger.sponge_state)
+    pos = len(challenger.input_buffer)
+    assert pos < 12
+    for i, x in enumerate(challenger.input_buffer):
+        base_state[i] = x
+
+    chunk = 1 << 14
+    base_bytes = np.frombuffer(
+        b"".join(int(x).to_bytes(8, "little") for x in base_state), dtype=np.uint8
+    )
+    start = 0
+    while True:
+        states = np.tile(base_bytes, (chunk, 1)).copy()
+        cands = np.arange(start, start + chunk, dtype=np.uint64)
+        states[:, pos * 8:(pos + 1) * 8] = (
+            cands.astype("<u8").view(np.uint8).reshape(chunk, 8)
+        )
+        # 3 onion layers give 12 candidate words per row
+        d = kk.keccak256_batch(states)
+        words = [np.ascontiguousarray(d).view("<u8").reshape(chunk, 4)]
+        for _ in range(2):
+            d = kk.keccak256_batch(d)
+            words.append(np.ascontiguousarray(d).view("<u8").reshape(chunk, 4))
+        w = np.concatenate(words, axis=1)  # [chunk, 12]
+        ok = w < np.uint64(fs.P)
+        # response = 8th accepted word (challenger pops state[RATE-1] first)
+        csum = np.cumsum(ok, axis=1)
+        has8 = csum[:, -1] >= 8
+        first8 = np.argmax(csum == 8, axis=1)
+        resp = w[np.arange(chunk), first8]
+        good = has8 & (resp < np.uint64(threshold))
+        idx = np.nonzero(good)[0]
+        if idx.size:
+            pow_witness = int(cands[idx[0]])
+            break
+        start += chunk
+        assert start < fs.P, "Proof of work failed"
+
+    challenger.observe_element(pow_witness)
+    pow_response = challenger.get_challenge()
+    assert pow_response < threshold
+    return pow_witness

@@ -84,7 +84,7 @@ class PrecomputedReducedOpenings:
 
 
 def verify_fri_proof(instance, openings, challenges: FriChallenges,
-                     initial_merkle_caps, proof: FriProof, params) -> None:
+                     initial_merkle_caps, proof: FriProof, params, hasher=None) -> None:
     n = params.lde_size
 
     verify_proof_of_work(challenges.fri_pow_response, params.config)
@@ -96,7 +96,7 @@ def verify_fri_proof(instance, openings, challenges: FriChallenges,
     for x_index, round_proof in zip(challenges.fri_query_indices, proof.query_round_proofs):
         _verify_query_round(
             instance, challenges, precomputed, initial_merkle_caps, proof,
-            x_index, n, round_proof, params,
+            x_index, n, round_proof, params, hasher,
         )
 
 
@@ -122,12 +122,12 @@ def fri_combine_initial(instance, initial_proof, alpha, subgroup_x: int,
 
 
 def _verify_query_round(instance, challenges, precomputed, initial_merkle_caps,
-                        proof, x_index, n, round_proof, params) -> None:
+                        proof, x_index, n, round_proof, params, hasher=None) -> None:
     # initial tree proofs
     for (evals, merkle_proof), cap in zip(
         round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps
     ):
-        verify_merkle_proof_to_cap(evals, x_index, cap, merkle_proof)
+        verify_merkle_proof_to_cap(evals, x_index, cap, merkle_proof, hasher)
 
     log_n = log2_strict(n)
     subgroup_x = fs.mul(
@@ -157,7 +157,7 @@ def _verify_query_round(instance, challenges, precomputed, initial_merkle_caps,
         flat = [c for e in evals for c in e]
         verify_merkle_proof_to_cap(
             flat, coset_index, proof.commit_phase_merkle_caps[i],
-            round_proof.steps[i].merkle_proof,
+            round_proof.steps[i].merkle_proof, hasher,
         )
 
         subgroup_x = fs.exp(subgroup_x, arity)

@@ -114,18 +114,73 @@ def _build_jit(leaves, cap_height):
 # ---------------------------------------------------------------------------
 
 def verify_merkle_proof_to_cap(
-    leaf: list[int], leaf_index: int, cap: list[list[int]], proof: MerkleProof
+    leaf: list[int], leaf_index: int, cap: list, proof: MerkleProof, hasher=None
 ) -> None:
     """Raise if the proof is invalid (reference hash/merkle_proofs.rs)."""
-    digest = ps.hash_or_noop(leaf)
+    if hasher is None:
+        from plonky2_tpu.hash.hashers import PoseidonHasher
+
+        hasher = PoseidonHasher
+    digest = hasher.hash_or_noop(leaf)
     idx = leaf_index
     for sibling in proof.siblings:
         if idx & 1:
-            digest = ps.two_to_one(sibling, digest)
+            digest = hasher.two_to_one(sibling, digest)
         else:
-            digest = ps.two_to_one(digest, sibling)
+            digest = hasher.two_to_one(digest, sibling)
         idx >>= 1
-    if digest != list(cap[idx]):
+    expected = cap[idx] if isinstance(cap[idx], (bytes, bytearray)) else list(cap[idx])
+    if digest != expected:
         raise ValueError(
-            f"Merkle proof invalid: leaf {leaf_index} digest {digest} != cap[{idx}] {cap[idx]}"
+            f"Merkle proof invalid: leaf {leaf_index} digest != cap[{idx}]"
         )
+
+
+class KeccakMerkleTree:
+    """Host Merkle-cap tree over byte digests, batch-hashed with the
+    numpy-vectorized keccak (non-algebraic configs, reference
+    KeccakGoldilocksConfig). Same interface as MerkleTree."""
+
+    def __init__(self, leaves, cap_height: int = 0):
+        import numpy as _np
+
+        from plonky2_tpu.hash.hashers import KeccakHasher
+
+        leaves = _np.asarray(leaves, dtype=_np.uint64)
+        self.leaves = leaves
+        self.cap_height = cap_height
+        n = leaves.shape[0]
+        lg_n = n.bit_length() - 1
+        assert 1 << lg_n == n
+        layers = [KeccakHasher.hash_leaves_batch(leaves)]
+        for _ in range(lg_n - cap_height):
+            layers.append(KeccakHasher.compress_batch(layers[-1]))
+        self._layers = layers
+        self.cap = [bytes(row) for row in layers[-1]]
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.leaves.shape[0])
+
+    def prove(self, leaf_index: int) -> MerkleProof:
+        siblings = []
+        idx = leaf_index
+        for layer in self._layers[:-1]:
+            siblings.append(bytes(layer[idx ^ 1]))
+            idx >>= 1
+        return MerkleProof(siblings)
+
+    def leaf(self, leaf_index: int) -> list[int]:
+        import numpy as _np
+
+        return [int(v) for v in _np.asarray(self.leaves[leaf_index])]
+
+
+def make_merkle_tree(leaves, cap_height: int, hasher=None):
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
+    if hasher is None or hasher is PoseidonHasher or getattr(hasher, "algebraic", False):
+        return MerkleTree(leaves, cap_height)
+    import numpy as _np
+
+    return KeccakMerkleTree(_np.asarray(leaves), cap_height)

@@ -21,7 +21,10 @@ from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE, SPONGE_WIDTH
 
 
 class Challenger:
-    def __init__(self):
+    def __init__(self, hasher=None):
+        from plonky2_tpu.hash.hashers import PoseidonHasher
+
+        self.hasher = hasher or PoseidonHasher
         self.sponge_state: list[int] = [0] * SPONGE_WIDTH
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
@@ -46,8 +49,12 @@ class Challenger:
         for e in elements:
             self.observe_extension_element(e)
 
-    def observe_hash(self, hash4) -> None:
-        self.observe_elements(hash4)
+    def observe_hash(self, digest) -> None:
+        """Digest felts (Poseidon HashOut) or bytes (Keccak BytesHash —
+        7-byte-chunk felts, reference hash_types.rs:184-194)."""
+        from plonky2_tpu.hash.hashers import observe_digest
+
+        observe_digest(self, digest)
 
     def observe_cap(self, cap) -> None:
         for digest in cap:
@@ -79,7 +86,7 @@ class Challenger:
         for i, x in enumerate(self.input_buffer):
             self.sponge_state[i] = x
         self.input_buffer.clear()
-        self.sponge_state = ps.permute(self.sponge_state)
+        self.sponge_state = self.hasher.permute(self.sponge_state)
         self.output_buffer = list(self.sponge_state[:SPONGE_RATE])
 
     def compact(self) -> list[int]:

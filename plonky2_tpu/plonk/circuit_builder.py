@@ -55,8 +55,9 @@ from plonky2_tpu.gadgets.recursion_gadgets import RecursionGadgetsMixin
 
 
 class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
-    def __init__(self, config: CircuitConfig | None = None):
+    def __init__(self, config: CircuitConfig | None = None, gc=None):
         self.config = config or CircuitConfig.standard_recursion_config()
+        self.gc = gc or pcfg.poseidon_goldilocks_config()
         self.gate_instances: list[GateInstance] = []
         self.gates: dict[str, object] = {}  # id -> gate type (set semantics)
         self.copy_constraints: list[tuple[Target, Target]] = []
@@ -562,7 +563,8 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
             [np.stack(constant_vecs), sigma_vecs], axis=0
         )
         constants_sigmas_commitment = PolynomialBatch.from_values(
-            constants_sigmas, rate_bits, pcfg.CONSTANTS_SIGMAS.blinding, cap_height
+            constants_sigmas, rate_bits, pcfg.CONSTANTS_SIGMAS.blinding, cap_height,
+            hasher=self.gc.hasher,
         )
 
         # 6. gate generators (drop unused slots of partially-filled gates)
@@ -590,13 +592,19 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
             (config.num_routed_wires + quotient_degree_factor - 1) // quotient_degree_factor - 1
         )
 
-        # 8. circuit digest
+        # 8. circuit digest (reference circuit_builder.rs:1252-1264)
+        hasher = self.gc.hasher
         cap = constants_sigmas_commitment.merkle_tree.cap
-        domain_separator_digest = ps.hash_no_pad([1])  # hash_pad([]) = pad-rule hash of empty
-        digest_parts = [x for h in cap for x in h] + domain_separator_digest + [degree_bits]
-        circuit_digest = ps.hash_no_pad(digest_parts)
+        domain_separator_digest = hasher.hash_pad([])
+        digest_parts = (
+            [x for h in cap for x in hasher.digest_to_felts(h)]
+            + hasher.digest_to_felts(domain_separator_digest)
+            + [degree_bits]
+        )
+        circuit_digest = hasher.hash_no_pad(digest_parts)
 
         common = CommonCircuitData(
+            gc=self.gc,
             config=config,
             fri_params=fri_params,
             gates=gates,

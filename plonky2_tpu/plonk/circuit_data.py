@@ -43,6 +43,12 @@ class CommonCircuitData:
     num_lookup_polys: int = 0
     num_lookup_selectors: int = 0
     luts: list = field(default_factory=list)
+    gc: Any = None  # GenericConfig; None -> PoseidonGoldilocksConfig
+
+    def generic_config(self):
+        if self.gc is None:
+            return pcfg.poseidon_goldilocks_config()
+        return self.gc
 
     @property
     def degree_bits(self) -> int:
@@ -168,10 +174,10 @@ class CircuitData:
     verifier_only: VerifierOnlyCircuitData
     common: CommonCircuitData
 
-    def prove(self, inputs):
+    def prove(self, inputs, timing=None):
         from plonky2_tpu.plonk.prover import prove
 
-        return prove(self.prover_only, self.common, inputs)
+        return prove(self.prover_only, self.common, inputs, timing=timing)
 
     def verify(self, proof_with_pis) -> None:
         from plonky2_tpu.plonk.verifier import verify

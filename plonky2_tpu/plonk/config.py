@@ -9,6 +9,45 @@ from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
 
 
 @dataclass(frozen=True)
+class GenericConfig:
+    """Type-level config analog (reference plonk/config.rs:95-126):
+    transcript/Merkle hasher + in-circuit (algebraic) hasher."""
+
+    name: str
+    hasher: object
+    inner_hasher: object
+
+
+def _poseidon_config() -> GenericConfig:
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
+    return GenericConfig("PoseidonGoldilocksConfig", PoseidonHasher, PoseidonHasher)
+
+
+def _keccak_config() -> GenericConfig:
+    from plonky2_tpu.hash.hashers import KeccakHasher, PoseidonHasher
+
+    return GenericConfig("KeccakGoldilocksConfig", KeccakHasher, PoseidonHasher)
+
+
+class _Lazy:
+    _poseidon = None
+    _keccak = None
+
+
+def poseidon_goldilocks_config() -> GenericConfig:
+    if _Lazy._poseidon is None:
+        _Lazy._poseidon = _poseidon_config()
+    return _Lazy._poseidon
+
+
+def keccak_goldilocks_config() -> GenericConfig:
+    if _Lazy._keccak is None:
+        _Lazy._keccak = _keccak_config()
+    return _Lazy._keccak
+
+
+@dataclass(frozen=True)
 class PlonkOracle:
     index: int
     blinding: bool

@@ -17,7 +17,7 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs, public_inputs_hash,
     num_challenges = config.num_challenges
     has_lookup = common.num_lookup_polys != 0
 
-    challenger = Challenger()
+    challenger = Challenger(common.generic_config().hasher)
     common.fri_params.observe(challenger)
     challenger.observe_hash(circuit_digest)
     challenger.observe_hash(public_inputs_hash)

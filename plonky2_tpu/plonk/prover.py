@@ -48,21 +48,24 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     zk = config.zero_knowledge
     degree = common.degree
 
+    gc = common.generic_config()
+    hasher = gc.hasher
+
     with timing.scope("generate partial witness"):
         partition_witness = generate_partial_witness(inputs, prover_data, common)
 
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
-    public_inputs_hash = ps.hash_no_pad(public_inputs)
+    public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
 
     with timing.scope("compute full witness"):
         witness = partition_witness.full_witness()  # [num_wires, degree]
 
     with timing.scope("wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
-            witness, rate_bits, zk and pcfg.WIRES.blinding, cap_height
+            witness, rate_bits, zk and pcfg.WIRES.blinding, cap_height, hasher=hasher
         )
 
-    challenger = Challenger()
+    challenger = Challenger(hasher)
     common.fri_params.observe(challenger)
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
@@ -80,7 +83,7 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     with timing.scope("zs_partial_products commitment"):
         partial_products_zs_commitment = PolynomialBatch.from_values(
             zs_partial_products, rate_bits,
-            zk and pcfg.ZS_PARTIAL_PRODUCTS.blinding, cap_height,
+            zk and pcfg.ZS_PARTIAL_PRODUCTS.blinding, cap_height, hasher=hasher,
         )
 
     challenger.observe_cap(partial_products_zs_commitment.merkle_tree.cap)
@@ -97,7 +100,8 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
 
     with timing.scope("quotient commitment"):
         quotient_polys_commitment = PolynomialBatch.from_coeffs(
-            quotient_chunks, rate_bits, zk and pcfg.QUOTIENT.blinding, cap_height
+            quotient_chunks, rate_bits, zk and pcfg.QUOTIENT.blinding, cap_height,
+            hasher=hasher,
         )
 
     challenger.observe_cap(quotient_polys_commitment.merkle_tree.cap)
@@ -129,6 +133,7 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
              partial_products_zs_commitment, quotient_polys_commitment],
             challenger,
             common.fri_params,
+            hasher=hasher,
         )
 
     proof = Proof(

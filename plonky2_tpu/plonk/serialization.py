@@ -53,7 +53,10 @@ class Writer:
             self.write_field_ext(x)
 
     def write_hash(self, h) -> None:
-        self.write_field_vec(h)
+        if isinstance(h, (bytes, bytearray)):
+            self.buf += bytes(h)  # BytesHash raw bytes (reference write_hash)
+        else:
+            self.write_field_vec(h)
 
     def write_merkle_cap(self, cap) -> None:
         for h in cap:
@@ -128,7 +131,15 @@ class Reader:
     def read_field_ext_vec(self, n: int) -> list[tuple]:
         return [self.read_field_ext() for _ in range(n)]
 
-    def read_hash(self) -> list[int]:
+    def __init_hasher__(self, hasher):
+        self.hasher = hasher
+
+    def read_hash(self) -> list[int] | bytes:
+        hasher = getattr(self, "hasher", None)
+        if hasher is not None and not getattr(hasher, "algebraic", True):
+            out = bytes(self.data[self.pos:self.pos + hasher.HASH_SIZE])
+            self.pos += hasher.HASH_SIZE
+            return out
         return self.read_field_vec(4)
 
     def read_merkle_cap(self, cap_height: int) -> list:
@@ -224,6 +235,7 @@ def proof_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
 
 def proof_from_bytes(data: bytes, common) -> ProofWithPublicInputs:
     r = Reader(data)
+    r.hasher = common.generic_config().hasher
     pwp = r.read_proof_with_public_inputs(common)
     assert r.pos == len(data), f"{len(data) - r.pos} trailing bytes"
     return pwp

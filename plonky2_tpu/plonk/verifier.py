@@ -48,7 +48,8 @@ def validate_proof_with_pis_shape(proof_with_pis: ProofWithPublicInputs, common)
 
 def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common) -> None:
     validate_proof_with_pis_shape(proof_with_pis, common)
-    public_inputs_hash = proof_with_pis.get_public_inputs_hash()
+    gc = common.generic_config()
+    public_inputs_hash = gc.inner_hasher.hash_no_pad(proof_with_pis.public_inputs)
     challenges = get_challenges(
         proof_with_pis, public_inputs_hash, verifier_data.circuit_digest, common
     )
@@ -110,4 +111,5 @@ def verify_with_challenges(proof, public_inputs_hash, challenges, verifier_data,
         merkle_caps,
         proof.opening_proof,
         common.fri_params,
+        hasher=common.generic_config().hasher,
     )

@@ -58,3 +58,24 @@ def test_factorial_tampered_opening_rejected(factorial_proof):
     bad.proof.openings.wires[0] = (fs.add(w[0], 1), w[1])
     with pytest.raises(Exception):
         data.verify(bad)
+
+
+def test_factorial_zk_config():
+    """Zero-knowledge config: blinding rows + salted Merkle leaves
+    (reference standard_recursion_zk_config)."""
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.iop.witness import PartialWitness
+
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_zk_config())
+    initial = builder.add_virtual_target()
+    cur = initial
+    for i in range(2, 30):
+        cur = builder.mul(cur, builder.constant(i))
+    builder.register_public_input(initial)
+    builder.register_public_input(cur)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(initial, 1)
+    proof = data.prove(pw)
+    data.verify(proof)
