@@ -51,10 +51,11 @@ class GateInstance:
 
 
 from plonky2_tpu.gadgets.extension_arithmetic import ExtensionArithmeticMixin
+from plonky2_tpu.gadgets.lookup import LookupMixin
 from plonky2_tpu.gadgets.recursion_gadgets import RecursionGadgetsMixin
 
 
-class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
+class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixin):
     def __init__(self, config: CircuitConfig | None = None, gc=None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gc = gc or pcfg.poseidon_goldilocks_config()
@@ -518,6 +519,10 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
         for wire in range(4, config.num_wires):
             self.add_simple_generator(RandomValueGenerator(Wire(pi_gate, wire)))
 
+        # 1b. lookup gates (reference circuit_builder.rs:1101)
+        if self.luts:
+            self.add_all_lookups()
+
         # 2. constant gates + generators
         while len(self.constants_to_targets) > len(self.constant_generators):
             self.add_gate(ConstantGate(config.num_constants), [])
@@ -544,7 +549,37 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
         constant_vecs, selectors_info = self._selector_polynomials(
             gates, quotient_degree_factor + 1
         )
-        constant_vecs = list(constant_vecs) + self._constant_polys()
+        constant_vecs = list(constant_vecs)
+
+        # lookup selector polynomials (reference gates/selectors.rs:51-111)
+        num_luts = len(self.luts)
+        if num_luts:
+            n_rows = len(self.gate_instances)
+            lookup_selectors = [np.zeros(n_rows, dtype=np.uint64) for _ in range(4)]
+            TRANS_SRE, TRANS_LDC, INIT_SRE, LAST_LDC = range(4)
+            ends = []
+            for lw in self.lookup_rows:
+                lookup_selectors[TRANS_SRE][lw.last_lut_gate:lw.first_lut_gate + 1] = 1
+                lookup_selectors[TRANS_LDC][lw.last_lu_gate:lw.last_lut_gate] = 1
+                lookup_selectors[INIT_SRE][lw.first_lut_gate + 1] = 1
+                lookup_selectors[LAST_LDC][lw.last_lu_gate] = 1
+            for lw in self.lookup_rows:
+                end = np.zeros(n_rows, dtype=np.uint64)
+                end[lw.last_lut_gate] = 1
+                ends.append(end)
+            constant_vecs += lookup_selectors + ends
+            num_lookup_selectors = 4 + num_luts
+            from plonky2_tpu.gates.lookup import LookupGate
+
+            lookup_degree = config.max_quotient_degree_factor - 1
+            num_lookup_polys = (
+                -(-LookupGate.num_slots_from_config(config) // lookup_degree) + 1
+            )
+        else:
+            num_lookup_selectors = 0
+            num_lookup_polys = 0
+
+        constant_vecs = constant_vecs + self._constant_polys()
         num_constants = len(constant_vecs)
 
         subgroup = fs.two_adic_subgroup(degree_bits)
@@ -615,6 +650,9 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
             num_public_inputs=num_public_inputs,
             k_is=k_is,
             num_partial_products=num_partial_products,
+            num_lookup_polys=num_lookup_polys,
+            num_lookup_selectors=num_lookup_selectors,
+            luts=[list(l) for l in self.luts],
         )
         prover_only = ProverOnlyCircuitData(
             generators=self.generators,
@@ -625,6 +663,8 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin):
             public_inputs=self.public_inputs,
             representative_map=forest.parents,
             circuit_digest=circuit_digest,
+            lookup_rows=list(self.lookup_rows),
+            lut_to_lookups=[list(l) for l in self.lut_to_lookups],
         )
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=cap,

@@ -160,6 +160,8 @@ class ProverOnlyCircuitData:
     circuit_digest: list[int]
     # device-cached domain tables for the quotient pass
     quotient_domain_tables: Any = None
+    lookup_rows: list = field(default_factory=list)
+    lut_to_lookups: list = field(default_factory=list)
 
 
 @dataclass

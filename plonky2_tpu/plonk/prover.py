@@ -35,8 +35,120 @@ from plonky2_tpu.iop.challenger import Challenger
 from plonky2_tpu.iop.generator import generate_partial_witness
 from plonky2_tpu.plonk import config as pcfg
 from plonky2_tpu.plonk.proof import OpeningSet, Proof, ProofWithPublicInputs
-from plonky2_tpu.plonk.vanishing_poly import eval_vanishing_poly
+from plonky2_tpu.plonk.vanishing_poly import (
+    NUM_COINS_LOOKUP,
+    CHALLENGE_A,
+    CHALLENGE_ALPHA,
+    CHALLENGE_B,
+    CHALLENGE_DELTA,
+    check_lookup_constraints,
+    eval_lut_poly,
+    eval_vanishing_poly,
+)
 from plonky2_tpu.util import TimingTree
+
+
+def set_lookup_wires(prover_data, common, pw) -> None:
+    """Fill LookupGate padding + LookupTableGate multiplicities
+    (reference plonk/prover.rs:41-111)."""
+    from plonky2_tpu.gates.lookup import LookupGate, LookupTableGate
+    from plonky2_tpu.iop.target import Wire
+
+    for lut_index, lw in enumerate(prover_data.lookup_rows):
+        lut = common.luts[lut_index]
+        num_entries = LookupGate.num_slots_from_config(common.config)
+        num_lut_entries = LookupTableGate.num_slots_from_config(common.config)
+        multiplicities = [0] * len(lut)
+        value_to_idx = {inp: i for i, (inp, _) in enumerate(lut)}
+
+        for inp_target, _ in prover_data.lut_to_lookups[lut_index]:
+            inp_value = pw.get_target(inp_target)
+            multiplicities[value_to_idx[inp_value]] += 1
+
+        # pad the last LookupGate with the first LUT entry
+        num_lookups = len(prover_data.lut_to_lookups[lut_index])
+        remaining = (num_entries - num_lookups % num_entries) % num_entries
+        first_inp, first_out = lut[0]
+        for slot in range(num_entries - remaining, num_entries):
+            pw.set_target(
+                Wire(lw.last_lut_gate - 1, LookupGate.wire_ith_looking_inp(slot)), first_inp
+            )
+            pw.set_target(
+                Wire(lw.last_lut_gate - 1, LookupGate.wire_ith_looking_out(slot)), first_out
+            )
+            multiplicities[0] += 1
+
+        for lut_entry in range(len(lut)):
+            row = lw.first_lut_gate - lut_entry // num_lut_entries
+            col = lut_entry % num_lut_entries
+            pw.set_target(
+                Wire(row, LookupTableGate.wire_ith_multiplicity(col)),
+                multiplicities[lut_entry],
+            )
+
+
+def compute_lookup_polys(witness, deltas4, prover_data, common):
+    """RE + partial-SLDC columns for one challenge's deltas, host row
+    recurrences over the (small) lookup region (reference prover.rs:458-605).
+    witness: [num_wires, degree] numpy."""
+    from plonky2_tpu.gates.lookup import LookupGate, LookupTableGate
+
+    degree = common.degree
+    num_lu_slots = LookupGate.num_slots_from_config(common.config)
+    max_lookup_degree = common.config.max_quotient_degree_factor - 1
+    num_partial_lookups = -(-num_lu_slots // max_lookup_degree)
+    num_lut_slots = LookupTableGate.num_slots_from_config(common.config)
+    max_lookup_table_degree = -(-num_lut_slots // num_partial_lookups)
+
+    polys = [[0] * degree for _ in range(num_partial_lookups + 1)]
+    w = lambda row, col: int(witness[col, row])
+    da, db, dalpha, ddelta = (deltas4[CHALLENGE_A], deltas4[CHALLENGE_B],
+                              deltas4[CHALLENGE_ALPHA], deltas4[CHALLENGE_DELTA])
+
+    for lw in prover_data.lookup_rows:
+        for row in range(lw.first_lut_gate, lw.last_lut_gate - 1, -1):
+            looked = [
+                fs.add(w(row, LookupTableGate.wire_ith_looked_inp(s)),
+                       fs.mul(da, w(row, LookupTableGate.wire_ith_looked_out(s))))
+                for s in range(num_lut_slots)
+            ]
+            inv = fs.batch_inverse([fs.sub(dalpha, c) for c in looked])
+            lookup_combos = [
+                fs.add(w(row, LookupTableGate.wire_ith_looked_inp(s)),
+                       fs.mul(db, w(row, LookupTableGate.wire_ith_looked_out(s))))
+                for s in range(num_lut_slots)
+            ]
+            new_re = polys[0][(row + 1) % degree]
+            for elt in lookup_combos:
+                new_re = fs.add(fs.mul(new_re, ddelta), elt)
+            polys[0][row] = new_re
+            for slot in range(num_partial_lookups):
+                prev = (polys[slot][row] if slot != 0
+                        else polys[num_partial_lookups][(row + 1) % degree])
+                acc = prev
+                for sidx in range(slot * max_lookup_table_degree,
+                                  min((slot + 1) * max_lookup_table_degree, num_lut_slots)):
+                    acc = fs.add(acc, fs.mul(
+                        w(row, LookupTableGate.wire_ith_multiplicity(sidx)), inv[sidx]))
+                polys[slot + 1][row] = acc
+
+        for row in range(lw.last_lut_gate - 1, lw.last_lu_gate - 1, -1):
+            looking = [
+                fs.add(w(row, LookupGate.wire_ith_looking_inp(s)),
+                       fs.mul(da, w(row, LookupGate.wire_ith_looking_out(s))))
+                for s in range(num_lu_slots)
+            ]
+            inv = fs.batch_inverse([fs.sub(dalpha, c) for c in looking])
+            for slot in range(num_partial_lookups):
+                prev = (polys[num_partial_lookups][(row + 1) % degree] if slot == 0
+                        else polys[slot][row])
+                acc = 0
+                for sidx in range(slot * max_lookup_degree,
+                                  min((slot + 1) * max_lookup_degree, num_lu_slots)):
+                    acc = fs.add(acc, inv[sidx])
+                polys[slot + 1][row] = fs.sub(prev, acc)
+
+    return polys
 
 
 def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> ProofWithPublicInputs:
@@ -51,8 +163,13 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     gc = common.generic_config()
     hasher = gc.hasher
 
+    has_lookup = common.num_lookup_polys != 0
+
     with timing.scope("generate partial witness"):
         partition_witness = generate_partial_witness(inputs, prover_data, common)
+
+    if has_lookup:
+        set_lookup_wires(prover_data, common, partition_witness)
 
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
@@ -74,11 +191,31 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     betas = challenger.get_n_challenges(num_challenges)
     gammas = challenger.get_n_challenges(num_challenges)
 
+    if has_lookup:
+        num_lookup_challenges = NUM_COINS_LOOKUP * num_challenges
+        additional = challenger.get_n_challenges(num_lookup_challenges - 2 * num_challenges)
+        deltas = betas + gammas + additional
+    else:
+        deltas = []
+
     with timing.scope("partial products and Zs"):
         wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
         zs_partial_products = _all_partial_products_and_zs(
             wires_values_routed, prover_data, common, betas, gammas
         )
+
+    if has_lookup:
+        with timing.scope("compute lookup polys"):
+            all_lookup_polys = []
+            for c in range(num_challenges):
+                all_lookup_polys.extend(compute_lookup_polys(
+                    witness, deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP],
+                    prover_data, common,
+                ))
+            lookup_np = np.asarray(all_lookup_polys, dtype=np.uint64)
+            zs_partial_products = jnp.concatenate(
+                [zs_partial_products, jnp.asarray(lookup_np)], axis=0
+            )
 
     with timing.scope("zs_partial_products commitment"):
         partial_products_zs_commitment = PolynomialBatch.from_values(
@@ -95,7 +232,7 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
             prover_data.constants_sigmas_commitment,
             wires_commitment,
             partial_products_zs_commitment,
-            public_inputs_hash, betas, gammas, alphas,
+            public_inputs_hash, betas, gammas, alphas, deltas,
         )
 
     with timing.scope("quotient commitment"):
@@ -231,12 +368,14 @@ def _make_quotient_fn(common):
     num_lookup_selectors = common.num_lookup_selectors
     zs_idx = list(common.zs_range())
     pp_idx = list(common.partial_products_range())
+    lookup_idx = list(common.lookup_range())
+    has_lookup = common.num_lookup_polys != 0
     k_is_np = np.asarray(common.k_is, dtype=np.uint64)
     num_chunks = (num_routed + qdf - 1) // qdf
     pad = num_chunks * qdf - num_routed
 
-    def f(constants_sigmas_q, wires_q, zs_pp_q, betas, gammas, alphas, pi_hash,
-          xs, z_h, z_h_inv):
+    def f(constants_sigmas_q, wires_q, zs_pp_q, betas, gammas, alphas, deltas,
+          lut_re_evals, pi_hash, xs, z_h, z_h_inv):
         Q = xs.shape[0]
         one = jnp.ones((), dtype=jnp.uint64)
 
@@ -298,7 +437,39 @@ def _make_quotient_fn(common):
                 g.sub(g.mul(accs[1:], den_prod), g.mul(accs[:-1], num_prod))
             )
 
-        all_terms = jnp.concatenate(z1_terms + pp_terms + [acc])  # [T, Q]
+        lookup_terms = []
+        if has_lookup:
+            from plonky2_tpu.plonk.vanishing_poly import (
+                NUM_COINS_LOOKUP,
+                check_lookup_constraints,
+            )
+
+            ops = DeviceBaseOps()
+            vars = EvaluationVars(
+                [constants_sigmas_q[j] for j in range(num_constants)],
+                [wires_q[j] for j in range(wires_q.shape[0])],
+                [pi_hash[k] for k in range(4)],
+            )
+            num_sel = common.selectors_info.num_selectors
+            lookup_selectors = vars.local_constants[
+                num_sel:num_sel + common.num_lookup_selectors]
+            nlp = common.num_lookup_polys
+            for i in range(num_challenges):
+                cur_local = [zs_pp_q[lookup_idx[nlp * i + j]] for j in range(nlp)]
+                cur_next = [jnp.roll(zs_pp_q[lookup_idx[nlp * i + j]], -qdf)
+                            for j in range(nlp)]
+                cur_deltas = [deltas[NUM_COINS_LOOKUP * i + j]
+                              for j in range(NUM_COINS_LOOKUP)]
+                cur_lut_evals = [lut_re_evals[i, l]
+                                 for l in range(lut_re_evals.shape[1])]
+                terms = check_lookup_constraints(
+                    ops, common, vars, cur_local, cur_next, lookup_selectors,
+                    cur_deltas, cur_lut_evals,
+                )
+                lookup_terms.extend(t[None] if t.ndim == 1 else
+                                    jnp.broadcast_to(t, (1, Q)) for t in terms)
+
+        all_terms = jnp.concatenate(z1_terms + pp_terms + lookup_terms + [acc])  # [T, Q]
         T = all_terms.shape[0]
 
         # -- alpha reduction per challenge, then divide by Z_H
@@ -315,7 +486,7 @@ def _make_quotient_fn(common):
 
 def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
                             wires_commitment, zs_pp_commitment,
-                            public_inputs_hash, betas, gammas, alphas):
+                            public_inputs_hash, betas, gammas, alphas, deltas=()):
     key = id(common)
     fn = _QUOTIENT_FN_CACHE.get(key)
     if fn is None:
@@ -349,11 +520,25 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
         np.asarray(fs.batch_inverse(z_h_vals), dtype=np.uint64), Q // qdf
     )
 
+    nc = common.config.num_challenges
+    if common.num_lookup_polys:
+        lut_re_evals = np.asarray(
+            [[eval_lut_poly(common, l, list(deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP]))
+              for l in range(len(common.luts))]
+             for c in range(nc)],
+            dtype=np.uint64,
+        )
+        deltas_np = np.asarray(deltas, dtype=np.uint64)
+    else:
+        lut_re_evals = np.zeros((nc, 0), dtype=np.uint64)
+        deltas_np = np.zeros((0,), dtype=np.uint64)
+
     return fn(
         cs_q, wires_q, zs_pp_q,
         jnp.asarray(np.asarray(betas, dtype=np.uint64)),
         jnp.asarray(np.asarray(gammas, dtype=np.uint64)),
         jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
+        jnp.asarray(deltas_np), jnp.asarray(lut_re_evals),
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
         jnp.asarray(xs), jnp.asarray(z_h), jnp.asarray(z_h_inv),
     )

@@ -13,7 +13,11 @@ from plonky2_tpu.fri.verifier import verify_fri_proof
 from plonky2_tpu.gates.ops import EvaluationVars, HostExtOps
 from plonky2_tpu.plonk.get_challenges import get_challenges
 from plonky2_tpu.plonk.proof import ProofWithPublicInputs
-from plonky2_tpu.plonk.vanishing_poly import eval_vanishing_poly
+from plonky2_tpu.plonk.vanishing_poly import (
+    NUM_COINS_LOOKUP,
+    eval_lut_poly,
+    eval_vanishing_poly,
+)
 
 
 def validate_proof_with_pis_shape(proof_with_pis: ProofWithPublicInputs, common) -> None:
@@ -78,6 +82,25 @@ def verify_with_challenges(proof, public_inputs_hash, challenges, verifier_data,
         fs.ext_scalar_mul(degree % fs.P, fs.ext_sub(zeta, fs.ext_one(2))),
     )
 
+    has_lookup = common.num_lookup_polys != 0
+    if has_lookup:
+        nc = common.config.num_challenges
+        lut_re_evals = [
+            [lift(eval_lut_poly(
+                common, l,
+                challenges.plonk_deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP]))
+             for l in range(len(common.luts))]
+            for c in range(nc)
+        ]
+        lookup_kwargs = dict(
+            local_lookup_zs=openings.lookup_zs,
+            next_lookup_zs=openings.lookup_zs_next,
+            deltas=[lift(d) for d in challenges.plonk_deltas],
+            lut_re_evals=lut_re_evals,
+        )
+    else:
+        lookup_kwargs = {}
+
     vanishing_polys_zeta = eval_vanishing_poly(
         ops, common, zeta, vars,
         openings.plonk_zs, openings.plonk_zs_next, openings.partial_products,
@@ -86,6 +109,7 @@ def verify_with_challenges(proof, public_inputs_hash, challenges, verifier_data,
         [lift(g) for g in challenges.plonk_gammas],
         [lift(a) for a in challenges.plonk_alphas],
         l_0_zeta,
+        **lookup_kwargs,
     )
 
     # vanishing(zeta) == Z_H(zeta) * reduce_with_powers(t_chunks, zeta^n)

@@ -1,0 +1,308 @@
+"""STARK -> SNARK recursion: verify a STARK proof inside a plonky2 circuit
+(reference starky/src/recursive_verifier.rs:32-315, fixed-degree form).
+
+The AIR constraints are evaluated in-circuit by instantiating the SAME
+ops-generic Stark.eval with CircuitOps — order matches the native prover by
+construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from plonky2_tpu.field import scalar as fs
+from plonky2_tpu.fri.recursive_verifier import (
+    FriChallengesTarget,
+    add_virtual_cap,
+    add_virtual_fri_proof,
+    set_cap_target,
+    set_fri_proof_target,
+    verify_fri_proof,
+)
+from plonky2_tpu.fri.structure import (
+    FriBatchInfo,
+    FriInstanceInfo,
+    FriOpeningBatch,
+    FriOpenings,
+    FriOracleInfo,
+    FriPolynomialInfo,
+)
+from plonky2_tpu.gadgets.reducing import ReducingFactorTarget
+from plonky2_tpu.gates.ops import CircuitOps
+from plonky2_tpu.recursion.recursive_challenger import RecursiveChallenger
+from plonky2_tpu.starky.constraint_consumer import ConstraintConsumer
+from plonky2_tpu.starky.evaluation_frame import StarkFrame
+from plonky2_tpu.util import log2_ceil
+
+
+@dataclass
+class StarkOpeningSetTarget:
+    local_values: list
+    next_values: list
+    auxiliary_polys: list | None
+    auxiliary_polys_next: list | None
+    ctl_zs_first: list | None
+    quotient_polys: list | None
+
+    def to_fri_openings(self) -> FriOpenings:
+        zeta_batch = FriOpeningBatch(
+            values=(list(self.local_values) + list(self.auxiliary_polys or [])
+                    + list(self.quotient_polys or []))
+        )
+        zeta_next_batch = FriOpeningBatch(
+            values=list(self.next_values) + list(self.auxiliary_polys_next or [])
+        )
+        return FriOpenings(batches=[zeta_batch, zeta_next_batch])
+
+
+@dataclass
+class StarkProofTarget:
+    trace_cap: list
+    auxiliary_polys_cap: list | None
+    quotient_polys_cap: list | None
+    openings: StarkOpeningSetTarget
+    opening_proof: object
+
+
+@dataclass
+class StarkProofWithPublicInputsTarget:
+    proof: StarkProofTarget
+    public_inputs: list
+
+
+@dataclass
+class StarkProofChallengesTarget:
+    stark_alphas: list
+    stark_zeta: object
+    fri_challenges: FriChallengesTarget
+
+
+def add_virtual_stark_proof_with_pis(builder, stark, config, degree_bits: int):
+    proof = add_virtual_stark_proof(builder, stark, config, degree_bits)
+    public_inputs = builder.add_virtual_targets(stark.PUBLIC_INPUTS)
+    return StarkProofWithPublicInputsTarget(proof=proof, public_inputs=public_inputs)
+
+
+def add_virtual_stark_proof(builder, stark, config, degree_bits: int) -> StarkProofTarget:
+    fri_params = config.fri_params(degree_bits)
+    cap_height = fri_params.config.cap_height
+    num_quotient = stark.num_quotient_polys(config)
+    num_leaves_per_oracle = [stark.COLUMNS]
+    if num_quotient > 0:
+        num_leaves_per_oracle.append(num_quotient)
+    return StarkProofTarget(
+        trace_cap=add_virtual_cap(builder, cap_height),
+        auxiliary_polys_cap=None,
+        quotient_polys_cap=add_virtual_cap(builder, cap_height) if num_quotient else None,
+        openings=StarkOpeningSetTarget(
+            local_values=builder.add_virtual_extension_targets(stark.COLUMNS),
+            next_values=builder.add_virtual_extension_targets(stark.COLUMNS),
+            auxiliary_polys=None,
+            auxiliary_polys_next=None,
+            ctl_zs_first=None,
+            quotient_polys=builder.add_virtual_extension_targets(num_quotient),
+        ),
+        opening_proof=add_virtual_fri_proof(builder, num_leaves_per_oracle, fri_params),
+    )
+
+
+def set_stark_proof_with_pis_target(pw, proof_t: StarkProofWithPublicInputsTarget,
+                                    proof_with_pis) -> None:
+    proof = proof_with_pis.proof
+    pw.set_targets(proof_t.public_inputs, proof_with_pis.public_inputs)
+    set_cap_target(pw, proof_t.proof.trace_cap, proof.trace_cap)
+    if proof_t.proof.quotient_polys_cap is not None:
+        set_cap_target(pw, proof_t.proof.quotient_polys_cap, proof.quotient_polys_cap)
+    ot, o = proof_t.proof.openings, proof.openings
+    for t, v in zip(ot.local_values, o.local_values):
+        pw.set_extension_target(t, v)
+    for t, v in zip(ot.next_values, o.next_values):
+        pw.set_extension_target(t, v)
+    for t, v in zip(ot.quotient_polys or [], o.quotient_polys or []):
+        pw.set_extension_target(t, v)
+    set_fri_proof_target(pw, proof_t.proof.opening_proof, proof.opening_proof)
+
+
+# -- in-circuit transcript + binding ------------------------------------------
+
+
+def _observe_stark_config(builder, challenger, config) -> None:
+    c = lambda v: builder.constant(v)
+    challenger.observe_element(c(config.security_bits))
+    challenger.observe_element(c(config.num_challenges))
+    cfg = config.fri_config
+    challenger.observe_element(c(cfg.rate_bits))
+    challenger.observe_element(c(cfg.cap_height))
+    challenger.observe_element(c(cfg.proof_of_work_bits))
+    challenger.observe_elements([c(v) for v in cfg.reduction_strategy.serialize_felts()])
+    challenger.observe_element(c(cfg.num_query_rounds))
+
+
+def _get_dummy_polys_target(builder, challenger, num_trace_polys: int,
+                            num_aux_polys: int, pow_degree: int) -> StarkOpeningSetTarget:
+    log_pow_degree = log2_ceil(pow_degree)
+    num_extension_powers = max(1, 50 // log_pow_degree - 1)
+    total = num_trace_polys * 2 + num_aux_polys * 2
+    num_zetas = (total + num_extension_powers - 1) // num_extension_powers
+    nb_dummy_per_zeta = min(num_extension_powers + 1, total)
+
+    evals = []
+    for zeta in challenger.get_n_extension_challenges(num_zetas):
+        cur = zeta
+        for _ in range(nb_dummy_per_zeta):
+            evals.append(cur)
+            cur = builder.exp_u64_extension(cur, pow_degree)
+
+    next_start = num_trace_polys
+    aux_start = num_trace_polys * 2
+    aux_next_start = aux_start + num_aux_polys
+    is_aux = num_aux_polys > 0
+    return StarkOpeningSetTarget(
+        local_values=evals[:next_start],
+        next_values=evals[next_start:aux_start],
+        auxiliary_polys=evals[aux_start:aux_next_start] if is_aux else None,
+        auxiliary_polys_next=evals[aux_next_start:] if is_aux else None,
+        ctl_zs_first=None,
+        quotient_polys=None,
+    )
+
+
+def compute_eval_vanishing_poly_circuit(builder, stark, openings_t, public_inputs_t,
+                                        alphas_t, zeta_t, degree_bits: int) -> list:
+    """In-circuit alpha-combined constraint evaluation at a point
+    (reference vanishing_poly.rs:194+)."""
+    ops = CircuitOps(builder)
+    one = builder.one_extension()
+    n = 1 << degree_bits
+    g = fs.primitive_root_of_unity(degree_bits)
+
+    zeta_pow_deg = builder.exp_power_of_2_extension(zeta_t, degree_bits)
+    z_h = builder.sub_extension(zeta_pow_deg, one)
+    d0 = builder.mul_const_extension(n % fs.P, builder.sub_extension(zeta_t, one))
+    gz = builder.mul_const_extension(g, zeta_t)
+    d1 = builder.mul_const_extension(n % fs.P, builder.sub_extension(gz, one))
+    l_0 = builder.div_extension(z_h, d0)
+    l_last = builder.div_extension(z_h, d1)
+    last = fs.inverse(g)
+    z_last = builder.sub_extension(zeta_t, builder.constant_extension(last))
+
+    consumer = ConstraintConsumer(
+        ops, [builder.convert_to_ext(a) for a in alphas_t], z_last, l_0, l_last
+    )
+    frame = StarkFrame(
+        openings_t.local_values, openings_t.next_values,
+        [builder.convert_to_ext(p) for p in public_inputs_t],
+    )
+    stark.eval(ops, frame, consumer)
+    return consumer.accumulators()
+
+
+def _get_challenges_target(builder, stark, proof_with_pis_t, config,
+                           degree_bits: int) -> StarkProofChallengesTarget:
+    proof_t = proof_with_pis_t.proof
+    nc = config.num_challenges
+    challenger = RecursiveChallenger(builder)
+    challenger.observe_elements(proof_with_pis_t.public_inputs)
+    _observe_stark_config(builder, challenger, config)
+    challenger.observe_cap(proof_t.trace_cap)
+
+    assert proof_t.auxiliary_polys_cap is None, "lookups/CTLs not yet supported"
+    stark_alphas_prime = challenger.get_n_challenges(nc)
+
+    pow_degree = max(2, stark.constraint_degree() + 1)
+    poly_evals = _get_dummy_polys_target(builder, challenger, stark.COLUMNS, 0, pow_degree)
+    zeta_prime = challenger.get_extension_challenge()
+    constraint_evals = compute_eval_vanishing_poly_circuit(
+        builder, stark, poly_evals, proof_with_pis_t.public_inputs,
+        stark_alphas_prime, zeta_prime, degree_bits,
+    )
+    challenger.observe_extension_elements(constraint_evals)
+
+    stark_alphas = challenger.get_n_challenges(nc)
+    if proof_t.quotient_polys_cap is not None:
+        challenger.observe_cap(proof_t.quotient_polys_cap)
+    stark_zeta = challenger.get_extension_challenge()
+
+    for batch in proof_t.openings.to_fri_openings().batches:
+        challenger.observe_extension_elements(batch.values)
+
+    fri_alpha = challenger.get_extension_challenge()
+    fri_betas = []
+    for cap in proof_t.opening_proof.commit_phase_merkle_caps:
+        challenger.observe_cap(cap)
+        fri_betas.append(challenger.get_extension_challenge())
+    challenger.observe_extension_elements(proof_t.opening_proof.final_poly)
+    challenger.observe_element(proof_t.opening_proof.pow_witness)
+    fri_pow_response = challenger.get_challenge()
+    fri_query_indices = challenger.get_n_challenges(config.fri_config.num_query_rounds)
+
+    return StarkProofChallengesTarget(
+        stark_alphas=stark_alphas,
+        stark_zeta=stark_zeta,
+        fri_challenges=FriChallengesTarget(
+            fri_alpha=fri_alpha, fri_betas=fri_betas,
+            fri_pow_response=fri_pow_response, fri_query_indices=fri_query_indices,
+        ),
+    )
+
+
+def _fri_instance_target(builder, stark, zeta_t, g: int, config) -> FriInstanceInfo:
+    oracles = []
+    trace_info = FriPolynomialInfo.from_range(len(oracles), range(0, stark.COLUMNS))
+    oracles.append(FriOracleInfo(stark.COLUMNS, False))
+    num_quotient = stark.num_quotient_polys(config)
+    if num_quotient > 0:
+        quotient_info = FriPolynomialInfo.from_range(len(oracles), range(0, num_quotient))
+        oracles.append(FriOracleInfo(num_quotient, False))
+    else:
+        quotient_info = []
+    zeta_batch = FriBatchInfo(point=zeta_t, polynomials=trace_info + quotient_info)
+    zeta_next = builder.mul_const_extension(g, zeta_t)
+    zeta_next_batch = FriBatchInfo(point=zeta_next, polynomials=list(trace_info))
+    return FriInstanceInfo(oracles=oracles, batches=[zeta_batch, zeta_next_batch])
+
+
+def verify_stark_proof_circuit(builder, stark, proof_with_pis_t, inner_config,
+                               degree_bits: int) -> None:
+    """Fixed-degree in-circuit STARK verification
+    (reference recursive_verifier.rs:32-76)."""
+    assert len(proof_with_pis_t.public_inputs) == stark.PUBLIC_INPUTS
+    assert not stark.uses_lookups() and not stark.requires_ctls()
+
+    challenges = _get_challenges_target(
+        builder, stark, proof_with_pis_t, inner_config, degree_bits
+    )
+
+    proof_t = proof_with_pis_t.proof
+    one = builder.one_extension()
+    zeta = challenges.stark_zeta
+
+    vanishing_polys_zeta = compute_eval_vanishing_poly_circuit(
+        builder, stark, proof_t.openings, proof_with_pis_t.public_inputs,
+        challenges.stark_alphas, zeta, degree_bits,
+    )
+
+    zeta_pow_deg = builder.exp_power_of_2_extension(zeta, degree_bits)
+    z_h_zeta = builder.sub_extension(zeta_pow_deg, one)
+    qdf = stark.quotient_degree_factor()
+    scale = ReducingFactorTarget(zeta_pow_deg)
+    quotient_polys = proof_t.openings.quotient_polys or []
+    for i in range(inner_config.num_challenges):
+        chunk = quotient_polys[i * qdf:(i + 1) * qdf]
+        recombined = scale.reduce(chunk, builder)
+        computed = builder.mul_extension(z_h_zeta, recombined)
+        builder.connect_extension(vanishing_polys_zeta[i], computed)
+
+    merkle_caps = [proof_t.trace_cap]
+    if proof_t.auxiliary_polys_cap is not None:
+        merkle_caps.append(proof_t.auxiliary_polys_cap)
+    if proof_t.quotient_polys_cap is not None:
+        merkle_caps.append(proof_t.quotient_polys_cap)
+
+    g = fs.primitive_root_of_unity(degree_bits)
+    fri_instance = _fri_instance_target(builder, stark, zeta, g, inner_config)
+    verify_fri_proof(
+        builder, fri_instance, proof_t.openings.to_fri_openings(),
+        challenges.fri_challenges, merkle_caps, proof_t.opening_proof,
+        inner_config.fri_params(degree_bits),
+    )
