@@ -33,14 +33,19 @@ def main():
         coeffs = ntt.ifft(v)
         return ntt.coset_lde(coeffs, rate_bits)
 
-    out = pipeline(values)
-    jax.block_until_ready(out)  # compile + warmup
+    # Reduce on-device and fetch a scalar each iteration: forces the full
+    # computation even where block_until_ready is unreliable (axon tunnel).
+    @jax.jit
+    def pipeline_sum(v):
+        return jnp.bitwise_xor.reduce(jnp.ravel(pipeline(v)))
+
+    _ = int(pipeline_sum(values))  # compile + warmup
 
     iters = 5
     t0 = time.perf_counter()
+    acc = 0
     for _ in range(iters):
-        out = pipeline(values)
-    jax.block_until_ready(out)
+        acc ^= int(pipeline_sum(values))
     dt = (time.perf_counter() - t0) / iters
 
     elems_per_s = num_polys * n / dt

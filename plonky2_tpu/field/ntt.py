@@ -65,11 +65,81 @@ def _butterflies(v: jax.Array, lg_n: int, start_stage: int) -> jax.Array:
     return v
 
 
+def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0) -> jax.Array:
+    """DIT stages over AXIS 0 of [m, V...] (input bit-reversed along axis 0).
+
+    The transform axis is never minor-most, so every butterfly is an
+    elementwise op over [*, V] tiles with the vector axis V on lanes — the
+    layout that keeps the TPU VPU fed (vs. the last-axis form whose early
+    stages have tiny minor dims)."""
+    m = v.shape[0]
+    rest = v.shape[1:]
+    tw = _stage_twiddles(lg_m)
+    wshape = (1, -1) + (1,) * len(rest)
+    for s in range(start_stage + 1, lg_m + 1):
+        half = 1 << (s - 1)
+        w = jnp.asarray(tw[s - 1]).reshape(wshape)  # [1, half, 1...]
+        vv = v.reshape((m >> s, 2, half) + rest)
+        even = vv[:, 0]
+        odd = vv[:, 1]
+        t = g.mul(odd, w)
+        v = jnp.stack([g.add(even, t), g.sub(even, t)], axis=1).reshape((m,) + rest)
+    return v
+
+
+_FOUR_STEP_MIN = 1 << 10
+
+
+def _fft_four_step(coeffs: jax.Array) -> jax.Array:
+    """Bailey four-step NTT over the last axis: two passes of axis-0
+    transforms (each vectorized over the complementary axis), one twiddle
+    multiply, reshape-only data movement."""
+    n = coeffs.shape[-1]
+    lg_n = n.bit_length() - 1
+    lg_a = (lg_n + 1) // 2
+    a, b = 1 << lg_a, n >> lg_a
+    lg_b = lg_n - lg_a
+    batch = coeffs.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+
+    x = coeffs.reshape(B, a, b)
+    # phase 1: NTT_a over i1, vectorized over (B, b)
+    y = jnp.transpose(x, (1, 0, 2)).reshape(a, B * b)
+    y = jnp.take(y, jnp.asarray(bit_reverse_perm(lg_a)), axis=0)
+    A = _butterflies0(y, lg_a).reshape(a, B, b)  # A[k1, B, i2]
+    # twiddle: w_n^{k1 * i2}
+    A = g.mul(A, jnp.asarray(_four_step_twiddles(lg_n, lg_a))[:, None, :])
+    # phase 2: NTT_b over i2, vectorized over (B, a)
+    z = jnp.transpose(A, (2, 1, 0)).reshape(b, B * a)
+    z = jnp.take(z, jnp.asarray(bit_reverse_perm(lg_b)), axis=0)
+    C = _butterflies0(z, lg_b).reshape(b, B, a)  # C[k2, B, k1]
+    # output index k = k1 + a*k2 -> [k2, k1] row-major
+    return jnp.transpose(C, (1, 0, 2)).reshape(batch + (n,))
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddles(lg_n: int, lg_a: int) -> np.ndarray:
+    """[a, b] table w_n^{k1*i2}."""
+    n = 1 << lg_n
+    a = 1 << lg_a
+    b = n >> lg_a
+    w = fs.primitive_root_of_unity(lg_n)
+    row = g.np_powers(w, b).astype(object)  # w^{i2}
+    out = np.empty((a, b), dtype=np.uint64)
+    cur = np.ones(b, dtype=object)
+    for k1 in range(a):
+        out[k1] = (cur % fs.P).astype(np.uint64)
+        cur = (cur * row) % fs.P
+    return out
+
+
 def fft(coeffs: jax.Array) -> jax.Array:
     """coefficients -> evaluations on <g_n>, natural order. Last-axis length 2^k."""
     n = coeffs.shape[-1]
     lg_n = n.bit_length() - 1
     assert 1 << lg_n == n, "length must be a power of two"
+    if n >= _FOUR_STEP_MIN:
+        return _fft_four_step(coeffs)
     v = jnp.take(coeffs, jnp.asarray(bit_reverse_perm(lg_n)), axis=-1)
     return _butterflies(v, lg_n, 0)
 
@@ -121,11 +191,33 @@ def lde_fft(coeffs: jax.Array, rate_bits: int, shift: int | None = None) -> jax.
     lg_m = m.bit_length() - 1
     assert 1 << lg_m == m
     lg_n = lg_m + rate_bits
+    if (1 << lg_n) >= _FOUR_STEP_MIN and rate_bits > 0:
+        # Interleaved-coset form: the n-point LDE splits into 2^rate
+        # independent m-point coset FFTs (out[s*2^rate + j] = F_j[s] with
+        # F_j = fft(coeffs * powers(shift * w_n^j))) — one batched fft with
+        # lane-friendly layouts, same total butterfly work as the zero-tail
+        # trick (reference fft.rs:165-202).
+        table = jnp.asarray(_lde_coset_scale_table(shift or 1, lg_m, rate_bits))
+        scaled = g.mul(coeffs[..., None, :], table)  # [..., R, m]
+        ev = fft(scaled)
+        return jnp.swapaxes(ev, -1, -2).reshape(coeffs.shape[:-1] + (1 << lg_n,))
     if shift is not None and shift != 1:
         coeffs = g.mul(coeffs, jnp.asarray(_shift_powers(shift, m)))
     v = jnp.take(coeffs, jnp.asarray(bit_reverse_perm(lg_m)), axis=-1)
     v = jnp.repeat(v, 1 << rate_bits, axis=-1)
     return _butterflies(v, lg_n, rate_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_coset_scale_table(shift: int, lg_m: int, rate_bits: int) -> np.ndarray:
+    """[2^rate, m] table: row j = powers of (shift * w_n^j)."""
+    m = 1 << lg_m
+    r = 1 << rate_bits
+    w_n = fs.primitive_root_of_unity(lg_m + rate_bits)
+    out = np.empty((r, m), dtype=np.uint64)
+    for j in range(r):
+        out[j] = g.np_powers(fs.mul(shift % fs.P, fs.exp(w_n, j)), m)
+    return out
 
 
 def coset_lde(coeffs: jax.Array, rate_bits: int) -> jax.Array:

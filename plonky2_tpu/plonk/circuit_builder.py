@@ -74,6 +74,9 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
         self.luts: list = []
         self.lookup_rows: list = []
         self.lut_to_lookups: list = []
+        # cyclic recursion state (reference circuit_builder.rs:429,1284)
+        self.verifier_data_public_input = None
+        self.goal_common_data = None
 
     # -- targets -----------------------------------------------------------
 
@@ -110,10 +113,15 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
         constants = list(constants) + [0] * (gate.num_constants() - len(constants))
 
         row = len(self.gate_instances)
-        for constant_index, wire_index in gate.extra_constant_wires():
-            self.constant_generators.append(
-                ConstantGenerator(row, constant_index, wire_index, 0)
-            )
+        # Only ConstantGate slots route circuit constants; other gates'
+        # extra-constant wires stay zero-filled (constant 0 == unset wire 0),
+        # so a dummy circuit (which has no such gate instances) reproduces the
+        # same gate set and ConstantGate count as the original.
+        if isinstance(gate, ConstantGate):
+            for constant_index, wire_index in gate.extra_constant_wires():
+                self.constant_generators.append(
+                    ConstantGenerator(row, constant_index, wire_index, 0)
+                )
         self.gates.setdefault(gate.id(), gate)
         self.gate_instances.append(GateInstance(gate, constants))
         return row
@@ -195,6 +203,21 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
     def register_public_inputs(self, ts) -> None:
         for t in ts:
             self.register_public_input(t)
+
+    def add_virtual_public_input(self) -> Target:
+        t = self.add_virtual_target()
+        self.register_public_input(t)
+        return t
+
+    def num_public_inputs(self) -> int:
+        return len(self.public_inputs)
+
+    def connect_hashes(self, a, b) -> None:
+        for x, y in zip(a, b):
+            self.connect(x, y)
+
+    def select_hash(self, b: BoolTarget, h0, h1) -> list:
+        return [self.select(b, x, y) for x, y in zip(h0, h1)]
 
     # -- arithmetic gadgets --------------------------------------------------
 
@@ -670,4 +693,8 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
             constants_sigmas_cap=cap,
             circuit_digest=circuit_digest,
         )
+        if self.goal_common_data is not None:
+            assert common == self.goal_common_data, (
+                "Built CommonCircuitData does not match the goal (cyclic fixpoint)"
+            )
         return CircuitData(prover_only, verifier_only, common)
