@@ -22,7 +22,15 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
     config.observe(challenger)
     challenger.observe_cap(proof.trace_cap)
 
-    assert proof.auxiliary_polys_cap is None, "lookups/CTLs not yet supported"
+    lookup_challenge_set = None
+    lookup_challenges = None
+    if stark.uses_lookups():
+        from plonky2_tpu.starky.lookup import get_grand_product_challenge_set
+
+        lookup_challenge_set = get_grand_product_challenge_set(challenger, num_challenges)
+        lookup_challenges = [ch.beta for ch in lookup_challenge_set.challenges]
+    if proof.auxiliary_polys_cap is not None:
+        challenger.observe_cap(proof.auxiliary_polys_cap)
 
     stark_alphas_prime = challenger.get_n_challenges(num_challenges)
 
@@ -31,7 +39,9 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
     poly_evals = get_dummy_polys(challenger, stark.COLUMNS, num_aux, pow_degree)
     zeta_prime = challenger.get_extension_challenge(2)
     constraint_evals = compute_eval_vanishing_poly(
-        stark, poly_evals, public_inputs, stark_alphas_prime, zeta_prime, degree_bits
+        stark, poly_evals, public_inputs, stark_alphas_prime, zeta_prime, degree_bits,
+        lookup_challenges=lookup_challenges,
+        num_lookup_columns=stark.num_lookup_helper_columns(config),
     )
     challenger.observe_extension_elements(constraint_evals)
 
@@ -50,7 +60,7 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
         max_num_query_steps = len(verifier_circuit_fri_params.reduction_arity_bits)
 
     return StarkProofChallenges(
-        lookup_challenge_set=None,
+        lookup_challenge_set=lookup_challenge_set,
         stark_alphas=stark_alphas,
         stark_zeta=stark_zeta,
         fri_challenges=fri_challenges(

@@ -79,11 +79,33 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
     assert constraint_degree <= (1 << rate_bits) + 1, (
         "The degree of the Stark constraints must be <= blowup_factor + 1"
     )
-    assert not stark.uses_lookups() and not stark.requires_ctls(), (
-        "lookups/CTLs not yet supported in the TPU starky prover"
-    )
+    assert not stark.requires_ctls(), "CTLs not yet supported in the TPU starky prover"
+
+    lookup_challenges = None
     auxiliary_polys_commitment = None
     num_auxiliary_polys = 0
+    if stark.uses_lookups():
+        from plonky2_tpu.starky.lookup import (
+            get_grand_product_challenge_set,
+            lookup_helper_columns,
+        )
+
+        challenge_set = get_grand_product_challenge_set(challenger, config.num_challenges)
+        lookup_challenges = [ch.beta for ch in challenge_set.challenges]
+        aux_cols = []
+        for lookup in stark.lookups():
+            for challenge in lookup_challenges:
+                aux_cols.extend(
+                    lookup_helper_columns(lookup, trace_poly_values, challenge,
+                                          constraint_degree)
+                )
+        aux_np = np.asarray(aux_cols, dtype=np.uint64)
+        num_auxiliary_polys = aux_np.shape[0]
+        with timing.scope("compute auxiliary polynomials commitment"):
+            auxiliary_polys_commitment = PolynomialBatch.from_values(
+                aux_np, rate_bits, False, cap_height
+            )
+        challenger.observe_cap(auxiliary_polys_commitment.merkle_tree.cap)
 
     alphas_prime = challenger.get_n_challenges(config.num_challenges)
 
@@ -96,8 +118,10 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
         challenger, stark.COLUMNS, num_auxiliary_polys, pow_degree
     )
     zeta_prime = challenger.get_extension_challenge(2)
+    num_lookup_columns = stark.num_lookup_helper_columns(config)
     constraints = compute_eval_vanishing_poly(
-        stark, poly_evals, public_inputs, alphas_prime, zeta_prime, degree_bits
+        stark, poly_evals, public_inputs, alphas_prime, zeta_prime, degree_bits,
+        lookup_challenges=lookup_challenges, num_lookup_columns=num_lookup_columns,
     )
     challenger.observe_extension_elements(constraints)
 
@@ -105,7 +129,8 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
 
     with timing.scope("compute quotient polys"):
         quotient_chunks = _compute_quotient_polys(
-            stark, config, trace_commitment, public_inputs, alphas, degree_bits
+            stark, config, trace_commitment, public_inputs, alphas, degree_bits,
+            auxiliary_polys_commitment, lookup_challenges,
         )
 
     with timing.scope("compute quotient commitment"):
@@ -119,16 +144,21 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
         raise ValueError("Opening point is in the subgroup.")
 
     with timing.scope("openings"):
-        openings = _opening_set(zeta, g_root, trace_commitment, quotient_commitment)
+        openings = _opening_set(zeta, g_root, trace_commitment, quotient_commitment,
+                                auxiliary_polys_commitment)
 
     for batch in openings.to_fri_openings().batches:
         challenger.observe_extension_elements(batch.values)
 
     instance = stark.fri_instance(zeta, g_root, 0, [], config)
+    oracles = [trace_commitment]
+    if auxiliary_polys_commitment is not None:
+        oracles.append(auxiliary_polys_commitment)
+    oracles.append(quotient_commitment)
     with timing.scope("FRI opening proof"):
         opening_proof = PolynomialBatch.prove_openings(
             instance,
-            [trace_commitment, quotient_commitment],
+            oracles,
             challenger,
             fri_params,
             final_poly_coeff_len=final_poly_coeff_len,
@@ -137,7 +167,8 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
 
     proof = StarkProof(
         trace_cap=trace_commitment.merkle_tree.cap,
-        auxiliary_polys_cap=None,
+        auxiliary_polys_cap=(auxiliary_polys_commitment.merkle_tree.cap
+                             if auxiliary_polys_commitment is not None else None),
         quotient_polys_cap=quotient_commitment.merkle_tree.cap,
         openings=openings,
         opening_proof=opening_proof,
@@ -149,14 +180,17 @@ _QUOTIENT_FN_CACHE: dict = {}
 
 
 def _make_quotient_fn(stark, config, degree_bits: int):
-    """One fused device program: all AIR constraints over the quotient coset
-    (reference compute_quotient_polys, prover.rs:488-670)."""
+    """One fused device program: all AIR constraints (+ logUp lookups) over
+    the quotient coset (reference compute_quotient_polys, prover.rs:488-670)."""
     qdf = stark.quotient_degree_factor()
     qd_bits = (qdf - 1).bit_length()  # log2_ceil(qdf)
     n = 1 << degree_bits
     num_challenges = config.num_challenges
+    uses_lookups = stark.uses_lookups()
+    next_step = 1 << qd_bits
 
-    def f(trace_q, next_trace_q, pis, alphas, xs, z_h_inv, l_first, l_last, z_last):
+    def f(trace_q, next_trace_q, aux_q, lookup_chs, pis, alphas, xs, z_h_inv,
+          l_first, l_last, z_last):
         ops = DeviceBaseOps()
         frame = StarkFrame(
             [trace_q[i] for i in range(trace_q.shape[0])],
@@ -168,7 +202,16 @@ def _make_quotient_fn(stark, config, degree_bits: int):
             [alphas[i] for i in range(num_challenges)],
             z_last, l_first, l_last,
         )
-        eval_vanishing_poly(ops, stark, frame, consumer)
+        lookup_vars = None
+        if uses_lookups:
+            from plonky2_tpu.starky.lookup import LookupCheckVars
+
+            lookup_vars = LookupCheckVars(
+                [aux_q[i] for i in range(aux_q.shape[0])],
+                [jnp.roll(aux_q[i], -next_step) for i in range(aux_q.shape[0])],
+                [lookup_chs[i] for i in range(num_challenges)],
+            )
+        eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars)
         evals = jnp.stack(consumer.accumulators())  # [nc, Q]
         quotient_values = g.mul(evals, z_h_inv[None])
         coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
@@ -178,7 +221,8 @@ def _make_quotient_fn(stark, config, degree_bits: int):
 
 
 def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
-                            alphas, degree_bits: int):
+                            alphas, degree_bits: int,
+                            auxiliary_polys_commitment=None, lookup_challenges=None):
     key = (id(stark), id(config), degree_bits)
     cached = _QUOTIENT_FN_CACHE.get(key)
     if cached is None:
@@ -197,6 +241,12 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
 
     trace_q = trace_commitment.lde[:, ::step]  # [cols, Q] natural order
     next_trace_q = jnp.roll(trace_q, -next_step, axis=1)
+    if auxiliary_polys_commitment is not None:
+        aux_q = auxiliary_polys_commitment.lde[:, ::step]
+        lookup_chs = jnp.asarray(np.asarray(lookup_challenges, dtype=np.uint64))
+    else:
+        aux_q = jnp.zeros((0, Q), dtype=jnp.uint64)
+        lookup_chs = jnp.zeros((0,), dtype=jnp.uint64)
 
     # domain points and periodic Z_H / Lagrange-selector tables
     v = fs.primitive_root_of_unity(qd_bits + degree_bits)
@@ -223,7 +273,7 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
     z_last = g.sub(jnp.asarray(xs), jnp.asarray(np.uint64(last)))
 
     return fn(
-        trace_q, next_trace_q,
+        trace_q, next_trace_q, aux_q, lookup_chs,
         jnp.asarray(np.asarray(public_inputs, dtype=np.uint64)),
         jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
         jnp.asarray(xs), jnp.asarray(z_h_inv),
@@ -231,15 +281,20 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
     )
 
 
-def _opening_set(zeta, g_root, trace_commitment, quotient_commitment) -> StarkOpeningSet:
+def _opening_set(zeta, g_root, trace_commitment, quotient_commitment,
+                 auxiliary_polys_commitment=None) -> StarkOpeningSet:
     from plonky2_tpu.plonk.prover import _eval_commitment
 
     zeta_next = fs.ext_scalar_mul(g_root, zeta)
+    aux = aux_next = None
+    if auxiliary_polys_commitment is not None:
+        aux = _eval_commitment(zeta, auxiliary_polys_commitment)
+        aux_next = _eval_commitment(zeta_next, auxiliary_polys_commitment)
     return StarkOpeningSet(
         local_values=_eval_commitment(zeta, trace_commitment),
         next_values=_eval_commitment(zeta_next, trace_commitment),
-        auxiliary_polys=None,
-        auxiliary_polys_next=None,
+        auxiliary_polys=aux,
+        auxiliary_polys_next=aux_next,
         ctl_zs_first=None,
         quotient_polys=_eval_commitment(zeta, quotient_commitment),
     )

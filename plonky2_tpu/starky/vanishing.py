@@ -10,9 +10,13 @@ from plonky2_tpu.starky.evaluation_frame import StarkFrame
 from plonky2_tpu.util import log2_ceil
 
 
-def eval_vanishing_poly(ops, stark, frame, consumer) -> None:
-    """Table constraints (+ lookups/CTLs when present)."""
+def eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars=None) -> None:
+    """Table constraints (+ logUp lookups when present)."""
     stark.eval(ops, frame, consumer)
+    if lookup_vars is not None:
+        from plonky2_tpu.starky.lookup import eval_lookups
+
+        eval_lookups(ops, stark, frame, lookup_vars, consumer)
 
 
 def eval_l_0_and_l_last(log_n: int, x: tuple) -> tuple[tuple, tuple]:
@@ -61,7 +65,9 @@ def get_dummy_polys(challenger, num_trace_polys: int, num_aux_polys: int,
 
 
 def compute_eval_vanishing_poly(stark, opening_set, public_inputs, alphas,
-                                zeta, degree_bits: int) -> list[tuple]:
+                                zeta, degree_bits: int,
+                                lookup_challenges=None,
+                                num_lookup_columns: int = 0) -> list[tuple]:
     """Host-ext evaluation of the alpha-combined constraints at a point
     (used for binding and by the verifier;
     reference vanishing_poly.rs:109-172)."""
@@ -80,5 +86,14 @@ def compute_eval_vanishing_poly(stark, opening_set, public_inputs, alphas,
         opening_set.next_values,
         [fs.ext_from_base(pi, 2) for pi in public_inputs],
     )
-    eval_vanishing_poly(ops, stark, frame, consumer)
+    lookup_vars = None
+    if lookup_challenges is not None:
+        from plonky2_tpu.starky.lookup import LookupCheckVars
+
+        lookup_vars = LookupCheckVars(
+            (opening_set.auxiliary_polys or [])[:num_lookup_columns],
+            (opening_set.auxiliary_polys_next or [])[:num_lookup_columns],
+            [fs.ext_from_base(c, 2) for c in lookup_challenges],
+        )
+    eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars)
     return consumer.accumulators()

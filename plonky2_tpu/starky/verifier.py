@@ -15,6 +15,9 @@ def validate_proof_shape(stark, proof, public_inputs, config) -> None:
     o = proof.openings
     if len(o.local_values) != stark.COLUMNS or len(o.next_values) != stark.COLUMNS:
         raise ValueError("Wrong number of trace openings")
+    num_aux = stark.num_lookup_helper_columns(config)
+    if len(o.auxiliary_polys or []) != num_aux or len(o.auxiliary_polys_next or []) != num_aux:
+        raise ValueError("Wrong number of auxiliary openings")
     if len(o.quotient_polys or []) != stark.num_quotient_polys(config):
         raise ValueError("Wrong number of quotient openings")
     cap_len = 1 << config.fri_config.cap_height
@@ -40,9 +43,14 @@ def verify_stark_proof_with_challenges(stark, proof, challenges, public_inputs,
     validate_proof_shape(stark, proof, public_inputs, config)
     degree_bits = proof.recover_degree_bits(config)
 
+    lookup_challenges = None
+    if stark.uses_lookups():
+        lookup_challenges = [ch.beta for ch in challenges.lookup_challenge_set.challenges]
     vanishing_polys_zeta = compute_eval_vanishing_poly(
         stark, proof.openings, public_inputs, challenges.stark_alphas,
         challenges.stark_zeta, degree_bits,
+        lookup_challenges=lookup_challenges,
+        num_lookup_columns=stark.num_lookup_helper_columns(config),
     )
 
     # vanishing(zeta) == Z_H(zeta) * t(zeta) per challenge

@@ -53,3 +53,61 @@ def test_fibonacci_stark_degree():
     trace = stark.generate_trace(public_inputs[0], public_inputs[1])
     proof = prove(stark, config, trace, public_inputs)
     verify_stark_proof(stark, proof, config)
+
+
+def test_lookup_stark():
+    """logUp lookup STARK: a looked column + table + frequency columns
+    (reference starky lookup machinery)."""
+    import numpy as np
+
+    from plonky2_tpu.field import scalar as fs2
+    from plonky2_tpu.starky.lookup import Column, Filter, Lookup
+    from plonky2_tpu.starky.stark import Stark
+
+    class LookupTestStark(Stark):
+        COLUMNS = 3  # [val, table, freq]
+        PUBLIC_INPUTS = 0
+
+        def __init__(self, num_rows):
+            self.num_rows = num_rows
+
+        def generate_trace(self):
+            n = self.num_rows
+            rng = np.random.default_rng(0)
+            table = np.arange(n, dtype=np.uint64)
+            vals = rng.integers(0, n, size=n)
+            freq = np.bincount(vals, minlength=n).astype(np.uint64)
+            return np.stack([vals.astype(np.uint64), table, freq])
+
+        def eval(self, ops, frame, consumer):
+            # the lookup argument carries the whole statement
+            pass
+
+        def constraint_degree(self):
+            return 3
+
+        def lookups(self):
+            return [Lookup(
+                columns=[Column.single(0)],
+                table_column=Column.single(1),
+                frequencies_column=Column.single(2),
+                filter_columns=[Filter.default()],
+            )]
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = LookupTestStark(num_rows)
+    trace = stark.generate_trace()
+    proof = prove(stark, config, trace, [])
+    verify_stark_proof(stark, proof, config)
+
+    # tamper: corrupt an aux opening
+    import copy
+
+    bad = copy.deepcopy(proof)
+    v = bad.proof.openings.auxiliary_polys[0]
+    bad.proof.openings.auxiliary_polys[0] = (fs2.add(v[0], 1), v[1])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        verify_stark_proof(stark, bad, config)
