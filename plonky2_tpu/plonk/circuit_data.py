@@ -43,7 +43,9 @@ class CommonCircuitData:
     num_lookup_polys: int = 0
     num_lookup_selectors: int = 0
     luts: list = field(default_factory=list)
-    gc: Any = None  # GenericConfig; None -> PoseidonGoldilocksConfig
+    # GenericConfig; None -> PoseidonGoldilocksConfig. Not consensus data
+    # (the reference CommonCircuitData has no such field) -> excluded from eq.
+    gc: Any = field(default=None, compare=False)
 
     def generic_config(self):
         if self.gc is None:
