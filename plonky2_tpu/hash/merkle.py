@@ -184,3 +184,85 @@ def make_merkle_tree(leaves, cap_height: int, hasher=None):
     import numpy as _np
 
     return KeccakMerkleTree(_np.asarray(leaves), cap_height)
+
+
+class BatchMerkleTree:
+    """One Merkle-cap tree over matrices of different heights: taller
+    matrices sit lower; each shorter matrix's rows are concatenated onto the
+    running cap digests (reference hash/batch_merkle_tree.rs:17-165).
+    Layer hashing is device-batched Poseidon."""
+
+    def __init__(self, leaves: list, cap_height: int):
+        import numpy as _np
+
+        assert leaves, "need at least one matrix"
+        mats = [jnp.asarray(_np.asarray(m, dtype=_np.uint64)) for m in leaves]
+        heights = [int(m.shape[0]).bit_length() - 1 for m in mats]
+        assert all(1 << h == m.shape[0] for h, m in zip(heights, mats))
+        assert all(heights[i] > heights[i + 1] for i in range(len(heights) - 1))
+        assert cap_height <= heights[-1]
+
+        self.leaves = [_np.asarray(m) for m in mats]
+        self.leaf_heights = heights
+        self._level_layers: list[list] = []  # per segment: digest layers
+
+        cap = hash_leaves_dev(mats[0])
+        for k in range(len(mats)):
+            next_height = heights[k + 1] if k + 1 < len(mats) else cap_height
+            if k > 0:
+                combined = jnp.concatenate([cap, mats[k]], axis=1)
+                cap = hash_leaves_dev(combined)
+            layers = [cap]
+            cur_height = heights[k]
+            while cur_height > next_height:
+                layers.append(compress_layer_dev(layers[-1]))
+                cur_height -= 1
+            self._level_layers.append([np.asarray(l) for l in layers])
+            cap = layers[-1]
+
+        self.cap = [[int(v) for v in row] for row in np.asarray(cap)]
+
+    def values(self, leaf_index: int) -> list[list[int]]:
+        top = self.leaf_heights[0]
+        return [
+            [int(v) for v in m[leaf_index >> (top - h)]]
+            for m, h in zip(self.leaves, self.leaf_heights)
+        ]
+
+    def open_batch(self, leaf_index: int) -> MerkleProof:
+        top = self.leaf_heights[0]
+        siblings = []
+        for k, layers in enumerate(self._level_layers):
+            idx = leaf_index >> (top - self.leaf_heights[k])
+            for layer in layers[:-1]:
+                siblings.append([int(v) for v in layer[idx ^ 1]])
+                idx >>= 1
+        return MerkleProof(siblings)
+
+
+def verify_batch_merkle_proof_to_cap(leaf_data: list, leaf_heights: list,
+                                     leaf_index: int, cap, proof: MerkleProof,
+                                     hasher=None) -> None:
+    """reference hash/merkle_proofs.rs:72-110."""
+    if hasher is None:
+        from plonky2_tpu.hash.hashers import PoseidonHasher
+
+        hasher = PoseidonHasher
+    assert len(leaf_data) == len(leaf_heights)
+    current = hasher.hash_or_noop(leaf_data[0])
+    current_height = leaf_heights[0]
+    data_index = 1
+    for sibling in proof.siblings:
+        bit = leaf_index & 1
+        leaf_index >>= 1
+        if bit:
+            current = hasher.two_to_one(sibling, current)
+        else:
+            current = hasher.two_to_one(current, sibling)
+        current_height -= 1
+        if data_index < len(leaf_heights) and current_height == leaf_heights[data_index]:
+            current = hasher.hash_or_noop(list(current) + list(leaf_data[data_index]))
+            data_index += 1
+    expected = cap[leaf_index]
+    if list(current) != list(expected):
+        raise ValueError("Batch Merkle proof invalid")

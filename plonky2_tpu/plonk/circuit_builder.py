@@ -77,6 +77,30 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
         # cyclic recursion state (reference circuit_builder.rs:429,1284)
         self.verifier_data_public_input = None
         self.goal_common_data = None
+        # named-scope gate-count profiling (reference util/context_tree.rs)
+        from plonky2_tpu.util import ContextTree
+
+        self.context_log = ContextTree()
+        self._context_stack = [self.context_log]
+
+    # -- context / profiling -------------------------------------------------
+
+    def push_context(self, name: str) -> None:
+        self._context_stack.append(
+            self._context_stack[-1].push(name, self.num_gates())
+        )
+
+    def pop_context(self) -> None:
+        self._context_stack.pop().pop(self.num_gates())
+
+    def print_gate_counts(self, min_gates: int = 1) -> None:
+        """reference circuit_builder.rs:1030-1046."""
+        from collections import Counter
+
+        counts = Counter(gi.gate.id() for gi in self.gate_instances)
+        for gate_id, count in counts.most_common():
+            print(f"{count} {gate_id}")
+        self.context_log.print(self.num_gates(), min_gates=min_gates)
 
     # -- targets -----------------------------------------------------------
 

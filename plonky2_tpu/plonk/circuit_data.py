@@ -173,10 +173,30 @@ class VerifierOnlyCircuitData:
 
 
 @dataclass
+class MockCircuitData:
+    """Witness-generation-only circuit data (no proving key material) —
+    reference plonk/circuit_data.rs:145."""
+
+    prover_only: ProverOnlyCircuitData
+    common: CommonCircuitData
+
+    def generate_witness(self, inputs):
+        from plonky2_tpu.iop.generator import generate_partial_witness
+
+        return generate_partial_witness(inputs, self.prover_only, self.common)
+
+
+@dataclass
 class CircuitData:
     prover_only: ProverOnlyCircuitData
     verifier_only: VerifierOnlyCircuitData
     common: CommonCircuitData
+
+    def verifier_data(self):
+        return self.verifier_only
+
+    def mock(self) -> "MockCircuitData":
+        return MockCircuitData(prover_only=self.prover_only, common=self.common)
 
     def prove(self, inputs, timing=None):
         from plonky2_tpu.plonk.prover import prove

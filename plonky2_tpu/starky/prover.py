@@ -212,7 +212,10 @@ def _make_quotient_fn(stark, config, degree_bits: int):
                 [lookup_chs[i] for i in range(num_challenges)],
             )
         eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars)
-        evals = jnp.stack(consumer.accumulators())  # [nc, Q]
+        Q = xs.shape[0]
+        evals = jnp.stack([
+            jnp.broadcast_to(a, (Q,)) for a in consumer.accumulators()
+        ])  # [nc, Q]
         quotient_values = g.mul(evals, z_h_inv[None])
         coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
         return coeffs.reshape(-1, n)  # [nc*qdf, n]

@@ -97,3 +97,36 @@ class TimingTree:
             print(f"{'  ' * depth}{self.duration:.4f}s {self.name}")
         for c in self.children:
             c._print(depth + 1, min_seconds)
+
+
+class ContextTree:
+    """Named-scope gate-count profiler (reference util/context_tree.rs).
+
+    Use via CircuitBuilder.push_context / pop_context; print_gate_counts
+    reports gates added per named scope.
+    """
+
+    def __init__(self, name: str = "root", enter_gate_count: int = 0):
+        self.name = name
+        self.enter_gate_count = enter_gate_count
+        self.exit_gate_count = None
+        self.children: list[ContextTree] = []
+
+    def push(self, name: str, gate_count: int) -> "ContextTree":
+        child = ContextTree(name, gate_count)
+        self.children.append(child)
+        return child
+
+    def pop(self, gate_count: int) -> None:
+        self.exit_gate_count = gate_count
+
+    def gate_count(self, current: int) -> int:
+        end = self.exit_gate_count if self.exit_gate_count is not None else current
+        return end - self.enter_gate_count
+
+    def print(self, current_gate_count: int, depth: int = 0, min_gates: int = 1) -> None:
+        count = self.gate_count(current_gate_count)
+        if count >= min_gates:
+            print(f"{'  ' * depth}{count} gates to {self.name}")
+        for child in self.children:
+            child.print(current_gate_count, depth + 1, min_gates)

@@ -111,3 +111,33 @@ def test_lookup_stark():
 
     with _pytest.raises(Exception):
         verify_stark_proof(stark, bad, config)
+
+
+def test_permutation_and_unconstrained_starks():
+    """reference permutation_stark.rs / unconstrained_stark.rs tests."""
+    from plonky2_tpu.starky.stark_testing import (
+        test_stark_constraints_on_trace,
+        test_stark_low_degree,
+    )
+    from plonky2_tpu.starky.test_starks import PermutationStark, UnconstrainedStark
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+
+    stark = PermutationStark(num_rows)
+    test_stark_low_degree(stark)
+    pis = [3, 7]
+    trace = stark.generate_trace(*pis)
+    test_stark_constraints_on_trace(stark, trace, pis)
+    proof = prove(stark, config, trace, pis)
+    verify_stark_proof(stark, proof, config)
+
+    stark = UnconstrainedStark(num_rows)
+    proof = prove(stark, config, stark.generate_trace(), [])
+    verify_stark_proof(stark, proof, config)
+
+
+def test_fibonacci_stark_low_degree():
+    from plonky2_tpu.starky.stark_testing import test_stark_low_degree
+
+    test_stark_low_degree(FibonacciStark(1 << 3))
