@@ -11,23 +11,29 @@ from plonky2_tpu.starky.vanishing import compute_eval_vanishing_poly, get_dummy_
 
 def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
                    verifier_circuit_fri_params=None,
-                   challenger: Challenger | None = None) -> StarkProofChallenges:
+                   challenger: Challenger | None = None,
+                   observe_instance: bool = True,
+                   ctl_challenge_set=None,
+                   ctl_zs_data=None,
+                   num_ctl_helpers_per_z=None) -> StarkProofChallenges:
     proof = proof_with_pis.proof
     public_inputs = proof_with_pis.public_inputs
     degree_bits = proof.recover_degree_bits(config)
     num_challenges = config.num_challenges
 
     challenger = challenger or Challenger()
-    challenger.observe_elements(public_inputs)
-    config.observe(challenger)
-    challenger.observe_cap(proof.trace_cap)
+    if observe_instance:
+        challenger.observe_elements(public_inputs)
+        config.observe(challenger)
+        challenger.observe_cap(proof.trace_cap)
 
-    lookup_challenge_set = None
+    lookup_challenge_set = ctl_challenge_set
     lookup_challenges = None
     if stark.uses_lookups():
-        from plonky2_tpu.starky.lookup import get_grand_product_challenge_set
+        if lookup_challenge_set is None:
+            from plonky2_tpu.starky.lookup import get_grand_product_challenge_set
 
-        lookup_challenge_set = get_grand_product_challenge_set(challenger, num_challenges)
+            lookup_challenge_set = get_grand_product_challenge_set(challenger, num_challenges)
         lookup_challenges = [ch.beta for ch in lookup_challenge_set.challenges]
     if proof.auxiliary_polys_cap is not None:
         challenger.observe_cap(proof.auxiliary_polys_cap)
@@ -38,10 +44,19 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
     num_aux = len(proof.openings.auxiliary_polys or [])
     poly_evals = get_dummy_polys(challenger, stark.COLUMNS, num_aux, pow_degree)
     zeta_prime = challenger.get_extension_challenge(2)
+    dummy_ctl_vars = None
+    if ctl_zs_data is not None:
+        from plonky2_tpu.starky.cross_table_lookup import CtlCheckVars
+
+        dummy_ctl_vars = CtlCheckVars.from_proof(
+            ctl_zs_data, poly_evals.auxiliary_polys, poly_evals.auxiliary_polys_next,
+            stark.num_lookup_helper_columns(config), num_ctl_helpers_per_z,
+        )
     constraint_evals = compute_eval_vanishing_poly(
         stark, poly_evals, public_inputs, stark_alphas_prime, zeta_prime, degree_bits,
         lookup_challenges=lookup_challenges,
         num_lookup_columns=stark.num_lookup_helper_columns(config),
+        ctl_vars=dummy_ctl_vars,
     )
     challenger.observe_extension_elements(constraint_evals)
 

@@ -134,6 +134,75 @@ def get_grand_product_challenge_set(challenger, num_challenges: int) -> GrandPro
     )
 
 
+def get_helper_cols(trace: np.ndarray, columns_filters: list, challenge,
+                    constraint_degree: int) -> list[np.ndarray]:
+    """Generic helper columns: chunks of `constraint_degree-1` column-GROUPS;
+    each group's value is challenge.combine(cols) = sum beta^i c_i + gamma;
+    h = sum over chunk of filter/(combine) (reference lookup.rs get_helper_cols).
+    columns_filters: [(list[Column], Filter)]."""
+    n = trace.shape[1]
+    chunk_size = max(constraint_degree - 1, 1)
+    beta, gamma = challenge.beta, challenge.gamma
+    helper_columns: list[np.ndarray] = []
+    combined = []
+    filters = []
+    for cols, filt in columns_filters:
+        acc = np.zeros(n, dtype=object)
+        b_pow = 1
+        for col in cols:
+            acc = (acc + b_pow * col.eval_all_rows(trace).astype(object)) % fs.P
+            b_pow = fs.mul(b_pow, beta)
+        combined.append(((acc + gamma) % fs.P).astype(np.uint64))
+        filters.append(filt.eval_all_rows(trace))
+    for start in range(0, len(combined), chunk_size):
+        h_int = [0] * n
+        for i in range(start, min(start + chunk_size, len(combined))):
+            invs = fs.batch_inverse([int(v) if v else 1 for v in combined[i]])
+            for r in range(n):
+                assert int(combined[i][r]) != 0, "combine hit zero denominator"
+                h_int[r] = fs.add(h_int[r], fs.mul(int(filters[i][r]), invs[r]))
+        helper_columns.append(np.asarray(h_int, dtype=np.uint64))
+    return helper_columns
+
+
+def eval_helper_columns(ops, filters, column_groups, local, nxt, helper_columns,
+                        constraint_degree: int, challenge, consumer) -> None:
+    """ops-generic helper-column checks shared by logUp and CTLs
+    (reference lookup.rs eval_helper_columns). column_groups: per group, a
+    list of already-ops-evaluated combine TERMS [list of column evals];
+    challenge has ops-domain (beta, gamma)."""
+    if not helper_columns:
+        return
+    beta, gamma = challenge
+    chunk_size = max(constraint_degree - 1, 1)
+
+    def combine(evals):
+        acc = ops.zero()
+        for e in reversed(evals):
+            acc = ops.add(ops.mul(beta, acc), e)
+        return ops.add(acc, gamma)
+
+    for ci, start in enumerate(range(0, len(column_groups), chunk_size)):
+        chunk = column_groups[start:start + chunk_size]
+        fil = filters[start:start + chunk_size]
+        h = helper_columns[ci]
+        if len(chunk) == 2:
+            combin0 = combine(chunk[0])
+            combin1 = combine(chunk[1])
+            f0 = fil[0].eval_filter(ops, local, nxt)
+            f1 = fil[1].eval_filter(ops, local, nxt)
+            consumer.constraint(ops.sub(
+                ops.mul(ops.mul(combin1, combin0), h),
+                ops.add(ops.mul(f0, combin1), ops.mul(f1, combin0)),
+            ))
+        elif len(chunk) == 1:
+            combin = combine(chunk[0])
+            f0 = fil[0].eval_filter(ops, local, nxt)
+            consumer.constraint(ops.sub(ops.mul(combin, h), f0))
+        else:
+            raise NotImplementedError("chunk sizes > 2")
+
+
 def lookup_helper_columns(lookup: Lookup, trace: np.ndarray, challenge: int,
                           constraint_degree: int) -> list[np.ndarray]:
     """Helper + Z columns for one lookup and one challenge, host numpy

@@ -68,7 +68,8 @@ def prove(stark, config, trace_poly_values, public_inputs,
 
 def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
                           challenger, public_inputs, final_poly_coeff_len,
-                          max_num_query_steps, timing) -> StarkProofWithPublicInputs:
+                          max_num_query_steps, timing,
+                          ctl_data=None, ctl_challenges=None) -> StarkProofWithPublicInputs:
     degree = trace_poly_values.shape[-1]
     degree_bits = log2_strict(degree)
     fri_params = config.fri_params(degree_bits)
@@ -79,26 +80,33 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
     assert constraint_degree <= (1 << rate_bits) + 1, (
         "The degree of the Stark constraints must be <= blowup_factor + 1"
     )
-    assert not stark.requires_ctls(), "CTLs not yet supported in the TPU starky prover"
 
     lookup_challenges = None
     auxiliary_polys_commitment = None
     num_auxiliary_polys = 0
+    aux_cols = []
     if stark.uses_lookups():
         from plonky2_tpu.starky.lookup import (
             get_grand_product_challenge_set,
             lookup_helper_columns,
         )
 
-        challenge_set = get_grand_product_challenge_set(challenger, config.num_challenges)
-        lookup_challenges = [ch.beta for ch in challenge_set.challenges]
-        aux_cols = []
+        if ctl_challenges is not None:
+            lookup_challenges = [ch.beta for ch in ctl_challenges.challenges]
+        else:
+            challenge_set = get_grand_product_challenge_set(challenger, config.num_challenges)
+            lookup_challenges = [ch.beta for ch in challenge_set.challenges]
         for lookup in stark.lookups():
             for challenge in lookup_challenges:
                 aux_cols.extend(
                     lookup_helper_columns(lookup, trace_poly_values, challenge,
                                           constraint_degree)
                 )
+    if ctl_data is not None:
+        from plonky2_tpu.starky.cross_table_lookup import get_ctl_auxiliary_polys
+
+        aux_cols.extend(get_ctl_auxiliary_polys(ctl_data))
+    if aux_cols:
         aux_np = np.asarray(aux_cols, dtype=np.uint64)
         num_auxiliary_polys = aux_np.shape[0]
         with timing.scope("compute auxiliary polynomials commitment"):
@@ -119,9 +127,19 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
     )
     zeta_prime = challenger.get_extension_challenge(2)
     num_lookup_columns = stark.num_lookup_helper_columns(config)
+    dummy_ctl_vars = None
+    if ctl_data is not None:
+        from plonky2_tpu.starky.cross_table_lookup import CtlCheckVars
+
+        dummy_ctl_vars = CtlCheckVars.from_proof(
+            ctl_data.zs_columns, poly_evals.auxiliary_polys,
+            poly_evals.auxiliary_polys_next, num_lookup_columns,
+            ctl_data.num_ctl_helper_polys(),
+        )
     constraints = compute_eval_vanishing_poly(
         stark, poly_evals, public_inputs, alphas_prime, zeta_prime, degree_bits,
         lookup_challenges=lookup_challenges, num_lookup_columns=num_lookup_columns,
+        ctl_vars=dummy_ctl_vars,
     )
     challenger.observe_extension_elements(constraints)
 
@@ -130,7 +148,8 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
     with timing.scope("compute quotient polys"):
         quotient_chunks = _compute_quotient_polys(
             stark, config, trace_commitment, public_inputs, alphas, degree_bits,
-            auxiliary_polys_commitment, lookup_challenges,
+            auxiliary_polys_commitment, lookup_challenges, ctl_data,
+            num_lookup_columns,
         )
 
     with timing.scope("compute quotient commitment"):
@@ -143,14 +162,21 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
     if fs.ext_exp(zeta, degree) == fs.ext_one(2):
         raise ValueError("Opening point is in the subgroup.")
 
+    num_ctl_polys = ctl_data.num_ctl_helper_polys() if ctl_data is not None else []
     with timing.scope("openings"):
         openings = _opening_set(zeta, g_root, trace_commitment, quotient_commitment,
-                                auxiliary_polys_commitment)
+                                auxiliary_polys_commitment,
+                                requires_ctls=ctl_data is not None,
+                                num_lookup_columns=num_lookup_columns,
+                                num_ctl_polys=num_ctl_polys)
 
     for batch in openings.to_fri_openings().batches:
         challenger.observe_extension_elements(batch.values)
 
-    instance = stark.fri_instance(zeta, g_root, 0, [], config)
+    instance = stark.fri_instance(
+        zeta, g_root, sum(num_ctl_polys),
+        [0] * (len(ctl_data.zs_columns) if ctl_data is not None else 0), config,
+    )
     oracles = [trace_commitment]
     if auxiliary_polys_commitment is not None:
         oracles.append(auxiliary_polys_commitment)
@@ -179,9 +205,11 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
 _QUOTIENT_FN_CACHE: dict = {}
 
 
-def _make_quotient_fn(stark, config, degree_bits: int):
-    """One fused device program: all AIR constraints (+ logUp lookups) over
-    the quotient coset (reference compute_quotient_polys, prover.rs:488-670)."""
+def _make_quotient_fn(stark, config, degree_bits: int, ctl_data=None,
+                      num_lookup_columns=0):
+    """One fused device program: all AIR constraints (+ logUp lookups and
+    CTLs) over the quotient coset (reference compute_quotient_polys,
+    prover.rs:488-670)."""
     qdf = stark.quotient_degree_factor()
     qd_bits = (qdf - 1).bit_length()  # log2_ceil(qdf)
     n = 1 << degree_bits
@@ -211,7 +239,18 @@ def _make_quotient_fn(stark, config, degree_bits: int):
                 [jnp.roll(aux_q[i], -next_step) for i in range(aux_q.shape[0])],
                 [lookup_chs[i] for i in range(num_challenges)],
             )
-        eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars)
+        ctl_vars = None
+        if ctl_data is not None:
+            from plonky2_tpu.starky.cross_table_lookup import CtlCheckVars
+
+            aux_local = [aux_q[i] for i in range(aux_q.shape[0])]
+            aux_next = [jnp.roll(aux_q[i], -next_step) for i in range(aux_q.shape[0])]
+            ctl_vars = CtlCheckVars.from_proof(
+                ctl_data.zs_columns, aux_local, aux_next, num_lookup_columns,
+                ctl_data.num_ctl_helper_polys(),
+            )
+        eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars, ctl_vars,
+                            stark.constraint_degree())
         Q = xs.shape[0]
         evals = jnp.stack([
             jnp.broadcast_to(a, (Q,)) for a in consumer.accumulators()
@@ -225,11 +264,13 @@ def _make_quotient_fn(stark, config, degree_bits: int):
 
 def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
                             alphas, degree_bits: int,
-                            auxiliary_polys_commitment=None, lookup_challenges=None):
-    key = (id(stark), id(config), degree_bits)
+                            auxiliary_polys_commitment=None, lookup_challenges=None,
+                            ctl_data=None, num_lookup_columns=0):
+    key = (id(stark), id(config), degree_bits, ctl_data is not None)
     cached = _QUOTIENT_FN_CACHE.get(key)
     if cached is None:
-        cached = _make_quotient_fn(stark, config, degree_bits)
+        cached = _make_quotient_fn(stark, config, degree_bits, ctl_data,
+                                   num_lookup_columns)
         _QUOTIENT_FN_CACHE[key] = cached
     fn, qd_bits = cached
 
@@ -246,7 +287,7 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
     next_trace_q = jnp.roll(trace_q, -next_step, axis=1)
     if auxiliary_polys_commitment is not None:
         aux_q = auxiliary_polys_commitment.lde[:, ::step]
-        lookup_chs = jnp.asarray(np.asarray(lookup_challenges, dtype=np.uint64))
+        lookup_chs = jnp.asarray(np.asarray(lookup_challenges or [], dtype=np.uint64))
     else:
         aux_q = jnp.zeros((0, Q), dtype=jnp.uint64)
         lookup_chs = jnp.zeros((0,), dtype=jnp.uint64)
@@ -285,19 +326,27 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
 
 
 def _opening_set(zeta, g_root, trace_commitment, quotient_commitment,
-                 auxiliary_polys_commitment=None) -> StarkOpeningSet:
+                 auxiliary_polys_commitment=None, requires_ctls=False,
+                 num_lookup_columns=0, num_ctl_polys=()) -> StarkOpeningSet:
     from plonky2_tpu.plonk.prover import _eval_commitment
 
     zeta_next = fs.ext_scalar_mul(g_root, zeta)
-    aux = aux_next = None
+    aux = aux_next = ctl_zs_first = None
     if auxiliary_polys_commitment is not None:
         aux = _eval_commitment(zeta, auxiliary_polys_commitment)
         aux_next = _eval_commitment(zeta_next, auxiliary_polys_commitment)
+        if requires_ctls:
+            # aux polys evaluated at the base point 1 = sum of coefficients
+            coeff_sums = np.asarray(
+                g.sum_mod(auxiliary_polys_commitment.polynomials, axis=1)
+            )
+            start = num_lookup_columns + sum(num_ctl_polys)
+            ctl_zs_first = [int(v) for v in coeff_sums[start:]]
     return StarkOpeningSet(
         local_values=_eval_commitment(zeta, trace_commitment),
         next_values=_eval_commitment(zeta_next, trace_commitment),
         auxiliary_polys=aux,
         auxiliary_polys_next=aux_next,
-        ctl_zs_first=None,
+        ctl_zs_first=ctl_zs_first,
         quotient_polys=_eval_commitment(zeta, quotient_commitment),
     )

@@ -10,13 +10,23 @@ from plonky2_tpu.starky.evaluation_frame import StarkFrame
 from plonky2_tpu.util import log2_ceil
 
 
-def eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars=None) -> None:
-    """Table constraints (+ logUp lookups when present)."""
+def eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars=None,
+                        ctl_vars=None, constraint_degree=None) -> None:
+    """Table constraints (+ logUp lookups and CTLs when present)."""
     stark.eval(ops, frame, consumer)
     if lookup_vars is not None:
         from plonky2_tpu.starky.lookup import eval_lookups
 
         eval_lookups(ops, stark, frame, lookup_vars, consumer)
+    if ctl_vars is not None:
+        from plonky2_tpu.starky.cross_table_lookup import (
+            eval_cross_table_lookup_checks,
+        )
+
+        eval_cross_table_lookup_checks(
+            ops, frame, ctl_vars, consumer,
+            constraint_degree or stark.constraint_degree(),
+        )
 
 
 def eval_l_0_and_l_last(log_n: int, x: tuple) -> tuple[tuple, tuple]:
@@ -67,7 +77,8 @@ def get_dummy_polys(challenger, num_trace_polys: int, num_aux_polys: int,
 def compute_eval_vanishing_poly(stark, opening_set, public_inputs, alphas,
                                 zeta, degree_bits: int,
                                 lookup_challenges=None,
-                                num_lookup_columns: int = 0) -> list[tuple]:
+                                num_lookup_columns: int = 0,
+                                ctl_vars=None) -> list[tuple]:
     """Host-ext evaluation of the alpha-combined constraints at a point
     (used for binding and by the verifier;
     reference vanishing_poly.rs:109-172)."""
@@ -95,5 +106,6 @@ def compute_eval_vanishing_poly(stark, opening_set, public_inputs, alphas,
             (opening_set.auxiliary_polys_next or [])[:num_lookup_columns],
             [fs.ext_from_base(c, 2) for c in lookup_challenges],
         )
-    eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars)
+    eval_vanishing_poly(ops, stark, frame, consumer, lookup_vars, ctl_vars,
+                        stark.constraint_degree())
     return consumer.accumulators()

@@ -1,0 +1,80 @@
+"""Cross-table lookups: two STARK tables, one looking into the other
+(reference starky cross_table_lookup.rs)."""
+
+import numpy as np
+import pytest
+
+from plonky2_tpu.starky.config import StarkConfig
+from plonky2_tpu.starky.cross_table_lookup import (
+    CrossTableLookup,
+    TableWithColumns,
+    check_ctls,
+    prove_multi_table,
+    verify_multi_table,
+)
+from plonky2_tpu.starky.lookup import Column, Filter
+from plonky2_tpu.starky.stark import Stark
+
+
+class TableA(Stark):
+    """Column 0 holds values that must all appear (as a multiset) in B."""
+
+    COLUMNS = 1
+    PUBLIC_INPUTS = 0
+
+    def __init__(self, values):
+        self.values = values
+
+    def generate_trace(self):
+        return np.asarray([self.values], dtype=np.uint64)
+
+    def eval(self, ops, frame, consumer):
+        pass
+
+    def constraint_degree(self):
+        return 3
+
+    def requires_ctls(self):
+        return True
+
+
+class TableB(TableA):
+    pass
+
+
+@pytest.fixture(scope="module")
+def ctl_setup():
+    n = 16
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 100, size=n).astype(np.uint64)
+    perm = rng.permutation(n)
+    a = TableA(list(vals))
+    b = TableB(list(vals[perm]))
+    ctls = [CrossTableLookup(
+        looking_tables=[TableWithColumns(0, [Column.single(0)], Filter.default())],
+        looked_table=TableWithColumns(1, [Column.single(0)], Filter.default()),
+    )]
+    return a, b, ctls
+
+
+def test_check_ctls_debug(ctl_setup):
+    a, b, ctls = ctl_setup
+    check_ctls([a.generate_trace(), b.generate_trace()], ctls)
+
+
+def test_ctl_prove_verify(ctl_setup):
+    a, b, ctls = ctl_setup
+    config = StarkConfig.standard_fast_config()
+    traces = [a.generate_trace(), b.generate_trace()]
+    proofs, _ = prove_multi_table([a, b], config, traces, [[], []], ctls)
+    verify_multi_table([a, b], config, proofs, ctls)
+
+
+def test_ctl_mismatch_rejected(ctl_setup):
+    a, b, ctls = ctl_setup
+    config = StarkConfig.standard_fast_config()
+    bad_b = TableB(list(np.asarray(b.values, dtype=np.uint64) + np.uint64(1)))
+    traces = [a.generate_trace(), bad_b.generate_trace()]
+    with pytest.raises(Exception):
+        proofs, _ = prove_multi_table([a, bad_b], config, traces, [[], []], ctls)
+        verify_multi_table([a, bad_b], config, proofs, ctls)
