@@ -13,6 +13,7 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
                    verifier_circuit_fri_params=None,
                    challenger: Challenger | None = None,
                    observe_instance: bool = True,
+                   hasher=None,
                    ctl_challenge_set=None,
                    ctl_zs_data=None,
                    num_ctl_helpers_per_z=None) -> StarkProofChallenges:
@@ -21,7 +22,7 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
     degree_bits = proof.recover_degree_bits(config)
     num_challenges = config.num_challenges
 
-    challenger = challenger or Challenger()
+    challenger = challenger or Challenger(hasher)
     if observe_instance:
         challenger.observe_elements(public_inputs)
         config.observe(challenger)

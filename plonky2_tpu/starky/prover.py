@@ -35,7 +35,8 @@ from plonky2_tpu.util import TimingTree, log2_strict
 
 def prove(stark, config, trace_poly_values, public_inputs,
           verifier_circuit_fri_params=None,
-          timing: TimingTree | None = None) -> StarkProofWithPublicInputs:
+          timing: TimingTree | None = None,
+          hasher=None) -> StarkProofWithPublicInputs:
     timing = timing or TimingTree("starky prove")
     trace_poly_values = np.asarray(trace_poly_values, dtype=np.uint64)  # [cols, n]
     degree = trace_poly_values.shape[-1]
@@ -52,10 +53,10 @@ def prove(stark, config, trace_poly_values, public_inputs,
 
     with timing.scope("compute trace commitment"):
         trace_commitment = PolynomialBatch.from_values(
-            trace_poly_values, rate_bits, False, cap_height
+            trace_poly_values, rate_bits, False, cap_height, hasher
         )
 
-    challenger = Challenger()
+    challenger = Challenger(hasher)
     challenger.observe_elements(public_inputs)
     config.observe(challenger)
     challenger.observe_cap(trace_commitment.merkle_tree.cap)
@@ -63,13 +64,15 @@ def prove(stark, config, trace_poly_values, public_inputs,
     return prove_with_commitment(
         stark, config, trace_poly_values, trace_commitment, challenger,
         public_inputs, final_poly_coeff_len, max_num_query_steps, timing,
+        hasher=hasher,
     )
 
 
 def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
                           challenger, public_inputs, final_poly_coeff_len,
                           max_num_query_steps, timing,
-                          ctl_data=None, ctl_challenges=None) -> StarkProofWithPublicInputs:
+                          ctl_data=None, ctl_challenges=None,
+                          hasher=None) -> StarkProofWithPublicInputs:
     degree = trace_poly_values.shape[-1]
     degree_bits = log2_strict(degree)
     fri_params = config.fri_params(degree_bits)
@@ -111,7 +114,7 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
         num_auxiliary_polys = aux_np.shape[0]
         with timing.scope("compute auxiliary polynomials commitment"):
             auxiliary_polys_commitment = PolynomialBatch.from_values(
-                aux_np, rate_bits, False, cap_height
+                aux_np, rate_bits, False, cap_height, hasher
             )
         challenger.observe_cap(auxiliary_polys_commitment.merkle_tree.cap)
 
@@ -154,7 +157,7 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
 
     with timing.scope("compute quotient commitment"):
         quotient_commitment = PolynomialBatch.from_coeffs(
-            quotient_chunks, rate_bits, False, cap_height
+            quotient_chunks, rate_bits, False, cap_height, hasher
         )
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
@@ -189,6 +192,7 @@ def prove_with_commitment(stark, config, trace_poly_values, trace_commitment,
             fri_params,
             final_poly_coeff_len=final_poly_coeff_len,
             max_num_query_steps=max_num_query_steps,
+            hasher=hasher,
         )
 
     proof = StarkProof(

@@ -58,3 +58,38 @@ class UnconstrainedStark(Stark):
 
     def constraint_degree(self) -> int:
         return 2
+
+
+class LookupTestStark(Stark):
+    """A looked column, a table column, and a frequencies column tied together
+    purely by the logUp argument (reference starky lookup tests)."""
+
+    COLUMNS = 3  # [val, table, freq]
+    PUBLIC_INPUTS = 0
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def generate_trace(self) -> np.ndarray:
+        n = self.num_rows
+        rng = np.random.default_rng(0)
+        table = np.arange(n, dtype=np.uint64)
+        vals = rng.integers(0, n, size=n)
+        freq = np.bincount(vals, minlength=n).astype(np.uint64)
+        return np.stack([vals.astype(np.uint64), table, freq])
+
+    def eval(self, ops, frame, consumer) -> None:
+        pass  # the lookup argument carries the whole statement
+
+    def constraint_degree(self) -> int:
+        return 3
+
+    def lookups(self) -> list:
+        from plonky2_tpu.starky.lookup import Column, Filter, Lookup
+
+        return [Lookup(
+            columns=[Column.single(0)],
+            table_column=Column.single(1),
+            frequencies_column=Column.single(2),
+            filter_columns=[Filter.default()],
+        )]

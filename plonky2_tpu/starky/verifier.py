@@ -27,19 +27,20 @@ def validate_proof_shape(stark, proof, public_inputs, config, num_ctl_aux: int =
 
 
 def verify_stark_proof(stark, proof_with_pis: StarkProofWithPublicInputs, config,
-                       verifier_circuit_fri_params=None) -> None:
+                       verifier_circuit_fri_params=None, hasher=None) -> None:
     if len(proof_with_pis.public_inputs) != stark.PUBLIC_INPUTS:
         raise ValueError("Wrong number of public inputs")
     challenges = get_challenges(
-        stark, proof_with_pis, config, verifier_circuit_fri_params
+        stark, proof_with_pis, config, verifier_circuit_fri_params, hasher=hasher
     )
     verify_stark_proof_with_challenges(
-        stark, proof_with_pis.proof, challenges, proof_with_pis.public_inputs, config
+        stark, proof_with_pis.proof, challenges, proof_with_pis.public_inputs, config,
+        hasher=hasher,
     )
 
 
 def verify_stark_proof_with_challenges(stark, proof, challenges, public_inputs,
-                                       config, ctl_vars=None) -> None:
+                                       config, ctl_vars=None, hasher=None) -> None:
     num_ctl_aux = (sum(len(v.helper_columns) for v in ctl_vars) + len(ctl_vars)
                    if ctl_vars else 0)
     validate_proof_shape(stark, proof, public_inputs, config, num_ctl_aux)
@@ -88,4 +89,5 @@ def verify_stark_proof_with_challenges(stark, proof, challenges, public_inputs,
         merkle_caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
+        hasher=hasher,
     )

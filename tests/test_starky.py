@@ -58,41 +58,8 @@ def test_fibonacci_stark_degree():
 def test_lookup_stark():
     """logUp lookup STARK: a looked column + table + frequency columns
     (reference starky lookup machinery)."""
-    import numpy as np
-
     from plonky2_tpu.field import scalar as fs2
-    from plonky2_tpu.starky.lookup import Column, Filter, Lookup
-    from plonky2_tpu.starky.stark import Stark
-
-    class LookupTestStark(Stark):
-        COLUMNS = 3  # [val, table, freq]
-        PUBLIC_INPUTS = 0
-
-        def __init__(self, num_rows):
-            self.num_rows = num_rows
-
-        def generate_trace(self):
-            n = self.num_rows
-            rng = np.random.default_rng(0)
-            table = np.arange(n, dtype=np.uint64)
-            vals = rng.integers(0, n, size=n)
-            freq = np.bincount(vals, minlength=n).astype(np.uint64)
-            return np.stack([vals.astype(np.uint64), table, freq])
-
-        def eval(self, ops, frame, consumer):
-            # the lookup argument carries the whole statement
-            pass
-
-        def constraint_degree(self):
-            return 3
-
-        def lookups(self):
-            return [Lookup(
-                columns=[Column.single(0)],
-                table_column=Column.single(1),
-                frequencies_column=Column.single(2),
-                filter_columns=[Filter.default()],
-            )]
+    from plonky2_tpu.starky.test_starks import LookupTestStark
 
     num_rows = 1 << 5
     config = StarkConfig.standard_fast_config()
@@ -141,3 +108,21 @@ def test_fibonacci_stark_low_degree():
     from plonky2_tpu.starky.stark_testing import test_stark_low_degree
 
     test_stark_low_degree(FibonacciStark(1 << 3))
+
+
+def test_fibonacci_stark_keccak_hasher():
+    """Starky is generic over the hasher like the reference's C: GenericConfig
+    (reference starky prove::<F, C, S, D>); drive it with Keccak-256."""
+    from plonky2_tpu.hash.hashers import KeccakHasher
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+    public_inputs = [0, 1, fibonacci(num_rows - 1, 0, 1)]
+    trace = stark.generate_trace(public_inputs[0], public_inputs[1])
+    proof = prove(stark, config, trace, public_inputs, hasher=KeccakHasher)
+    verify_stark_proof(stark, proof, config, hasher=KeccakHasher)
+
+    # a Poseidon-transcript verifier must reject it
+    with pytest.raises(Exception):
+        verify_stark_proof(stark, proof, config)
