@@ -75,6 +75,7 @@ class StarkProofChallengesTarget:
     stark_alphas: list
     stark_zeta: object
     fri_challenges: FriChallengesTarget
+    lookup_challenge_set: list | None = None  # [(beta_t, gamma_t)]
 
 
 def add_virtual_stark_proof_with_pis(builder, stark, config, degree_bits: int):
@@ -87,18 +88,23 @@ def add_virtual_stark_proof(builder, stark, config, degree_bits: int) -> StarkPr
     fri_params = config.fri_params(degree_bits)
     cap_height = fri_params.config.cap_height
     num_quotient = stark.num_quotient_polys(config)
+    num_aux = stark.num_lookup_helper_columns(config)
     num_leaves_per_oracle = [stark.COLUMNS]
+    if num_aux > 0:
+        num_leaves_per_oracle.append(num_aux)
     if num_quotient > 0:
         num_leaves_per_oracle.append(num_quotient)
     return StarkProofTarget(
         trace_cap=add_virtual_cap(builder, cap_height),
-        auxiliary_polys_cap=None,
+        auxiliary_polys_cap=add_virtual_cap(builder, cap_height) if num_aux else None,
         quotient_polys_cap=add_virtual_cap(builder, cap_height) if num_quotient else None,
         openings=StarkOpeningSetTarget(
             local_values=builder.add_virtual_extension_targets(stark.COLUMNS),
             next_values=builder.add_virtual_extension_targets(stark.COLUMNS),
-            auxiliary_polys=None,
-            auxiliary_polys_next=None,
+            auxiliary_polys=(builder.add_virtual_extension_targets(num_aux)
+                             if num_aux else None),
+            auxiliary_polys_next=(builder.add_virtual_extension_targets(num_aux)
+                                  if num_aux else None),
             ctl_zs_first=None,
             quotient_polys=builder.add_virtual_extension_targets(num_quotient),
         ),
@@ -111,12 +117,18 @@ def set_stark_proof_with_pis_target(pw, proof_t: StarkProofWithPublicInputsTarge
     proof = proof_with_pis.proof
     pw.set_targets(proof_t.public_inputs, proof_with_pis.public_inputs)
     set_cap_target(pw, proof_t.proof.trace_cap, proof.trace_cap)
+    if proof_t.proof.auxiliary_polys_cap is not None:
+        set_cap_target(pw, proof_t.proof.auxiliary_polys_cap, proof.auxiliary_polys_cap)
     if proof_t.proof.quotient_polys_cap is not None:
         set_cap_target(pw, proof_t.proof.quotient_polys_cap, proof.quotient_polys_cap)
     ot, o = proof_t.proof.openings, proof.openings
     for t, v in zip(ot.local_values, o.local_values):
         pw.set_extension_target(t, v)
     for t, v in zip(ot.next_values, o.next_values):
+        pw.set_extension_target(t, v)
+    for t, v in zip(ot.auxiliary_polys or [], o.auxiliary_polys or []):
+        pw.set_extension_target(t, v)
+    for t, v in zip(ot.auxiliary_polys_next or [], o.auxiliary_polys_next or []):
         pw.set_extension_target(t, v)
     for t, v in zip(ot.quotient_polys or [], o.quotient_polys or []):
         pw.set_extension_target(t, v)
@@ -168,7 +180,9 @@ def _get_dummy_polys_target(builder, challenger, num_trace_polys: int,
 
 
 def compute_eval_vanishing_poly_circuit(builder, stark, openings_t, public_inputs_t,
-                                        alphas_t, zeta_t, degree_bits: int) -> list:
+                                        alphas_t, zeta_t, degree_bits: int,
+                                        lookup_challenges_t=None,
+                                        num_lookup_columns: int = 0) -> list:
     """In-circuit alpha-combined constraint evaluation at a point
     (reference vanishing_poly.rs:194+)."""
     ops = CircuitOps(builder)
@@ -194,6 +208,15 @@ def compute_eval_vanishing_poly_circuit(builder, stark, openings_t, public_input
         [builder.convert_to_ext(p) for p in public_inputs_t],
     )
     stark.eval(ops, frame, consumer)
+    if lookup_challenges_t is not None:
+        from plonky2_tpu.starky.lookup import LookupCheckVars, eval_lookups
+
+        lookup_vars = LookupCheckVars(
+            (openings_t.auxiliary_polys or [])[:num_lookup_columns],
+            (openings_t.auxiliary_polys_next or [])[:num_lookup_columns],
+            [builder.convert_to_ext(c) for c in lookup_challenges_t],
+        )
+        eval_lookups(ops, stark, frame, lookup_vars, consumer)
     return consumer.accumulators()
 
 
@@ -206,15 +229,27 @@ def _get_challenges_target(builder, stark, proof_with_pis_t, config,
     _observe_stark_config(builder, challenger, config)
     challenger.observe_cap(proof_t.trace_cap)
 
-    assert proof_t.auxiliary_polys_cap is None, "lookups/CTLs not yet supported"
+    lookup_challenge_set = None
+    lookup_betas = None
+    num_lookup_columns = stark.num_lookup_helper_columns(config)
+    if stark.uses_lookups():
+        lookup_challenge_set = [
+            (challenger.get_challenge(), challenger.get_challenge()) for _ in range(nc)
+        ]
+        lookup_betas = [beta for beta, _gamma in lookup_challenge_set]
+    if proof_t.auxiliary_polys_cap is not None:
+        challenger.observe_cap(proof_t.auxiliary_polys_cap)
     stark_alphas_prime = challenger.get_n_challenges(nc)
 
     pow_degree = max(2, stark.constraint_degree() + 1)
-    poly_evals = _get_dummy_polys_target(builder, challenger, stark.COLUMNS, 0, pow_degree)
+    num_aux = len(proof_t.openings.auxiliary_polys or [])
+    poly_evals = _get_dummy_polys_target(
+        builder, challenger, stark.COLUMNS, num_aux, pow_degree)
     zeta_prime = challenger.get_extension_challenge()
     constraint_evals = compute_eval_vanishing_poly_circuit(
         builder, stark, poly_evals, proof_with_pis_t.public_inputs,
         stark_alphas_prime, zeta_prime, degree_bits,
+        lookup_challenges_t=lookup_betas, num_lookup_columns=num_lookup_columns,
     )
     challenger.observe_extension_elements(constraint_evals)
 
@@ -243,6 +278,7 @@ def _get_challenges_target(builder, stark, proof_with_pis_t, config,
             fri_alpha=fri_alpha, fri_betas=fri_betas,
             fri_pow_response=fri_pow_response, fri_query_indices=fri_query_indices,
         ),
+        lookup_challenge_set=lookup_challenge_set,
     )
 
 
@@ -250,15 +286,22 @@ def _fri_instance_target(builder, stark, zeta_t, g: int, config) -> FriInstanceI
     oracles = []
     trace_info = FriPolynomialInfo.from_range(len(oracles), range(0, stark.COLUMNS))
     oracles.append(FriOracleInfo(stark.COLUMNS, False))
+    num_aux = stark.num_lookup_helper_columns(config)
+    if num_aux > 0:
+        aux_info = FriPolynomialInfo.from_range(len(oracles), range(0, num_aux))
+        oracles.append(FriOracleInfo(num_aux, False))
+    else:
+        aux_info = []
     num_quotient = stark.num_quotient_polys(config)
     if num_quotient > 0:
         quotient_info = FriPolynomialInfo.from_range(len(oracles), range(0, num_quotient))
         oracles.append(FriOracleInfo(num_quotient, False))
     else:
         quotient_info = []
-    zeta_batch = FriBatchInfo(point=zeta_t, polynomials=trace_info + quotient_info)
+    zeta_batch = FriBatchInfo(point=zeta_t,
+                              polynomials=trace_info + aux_info + quotient_info)
     zeta_next = builder.mul_const_extension(g, zeta_t)
-    zeta_next_batch = FriBatchInfo(point=zeta_next, polynomials=list(trace_info))
+    zeta_next_batch = FriBatchInfo(point=zeta_next, polynomials=trace_info + aux_info)
     return FriInstanceInfo(oracles=oracles, batches=[zeta_batch, zeta_next_batch])
 
 
@@ -267,7 +310,7 @@ def verify_stark_proof_circuit(builder, stark, proof_with_pis_t, inner_config,
     """Fixed-degree in-circuit STARK verification
     (reference recursive_verifier.rs:32-76)."""
     assert len(proof_with_pis_t.public_inputs) == stark.PUBLIC_INPUTS
-    assert not stark.uses_lookups() and not stark.requires_ctls()
+    assert not stark.requires_ctls(), "in-circuit CTL verification not yet supported"
 
     challenges = _get_challenges_target(
         builder, stark, proof_with_pis_t, inner_config, degree_bits
@@ -277,9 +320,14 @@ def verify_stark_proof_circuit(builder, stark, proof_with_pis_t, inner_config,
     one = builder.one_extension()
     zeta = challenges.stark_zeta
 
+    lookup_betas = None
+    if challenges.lookup_challenge_set is not None:
+        lookup_betas = [beta for beta, _gamma in challenges.lookup_challenge_set]
     vanishing_polys_zeta = compute_eval_vanishing_poly_circuit(
         builder, stark, proof_t.openings, proof_with_pis_t.public_inputs,
         challenges.stark_alphas, zeta, degree_bits,
+        lookup_challenges_t=lookup_betas,
+        num_lookup_columns=stark.num_lookup_helper_columns(inner_config),
     )
 
     zeta_pow_deg = builder.exp_power_of_2_extension(zeta, degree_bits)
