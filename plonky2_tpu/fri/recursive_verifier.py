@@ -243,15 +243,133 @@ def _fri_verifier_query_round(builder, instance, challenges_t, precomputed,
     builder.connect_extension(acc, old_eval)
 
 
+def verify_fri_proof_with_multiple_degree_bits(
+        builder, instance, openings_t, challenges_t: FriChallengesTarget,
+        initial_merkle_caps_t, proof_t: FriProofTarget, params,
+        current_degree_bits, degree_sub_one_bits_vec,
+        min_degree_bits_to_support: int) -> None:
+    """One circuit verifying FRI proofs for any degree in
+    [min_degree_bits_to_support, params.degree_bits]: the proof target is
+    sized for the max degree (padded with zeros by the prover's unified-shape
+    transcript), query rounds select per-degree cap/subgroup values with
+    random access and skip folding steps via degree_sub_one_bits_vec
+    (reference fri/recursive_verifier.rs:189-274).
+    """
+    assert params.final_poly_len() == len(proof_t.final_poly)
+    log_n = params.config.rate_bits + params.degree_bits
+    min_log_n = params.config.rate_bits + min_degree_bits_to_support
+    assert min_log_n > params.config.cap_height
+    current_log_n = builder.add_const(current_degree_bits, params.config.rate_bits)
+
+    fri_verify_proof_of_work(builder, challenges_t.fri_pow_response, params.config)
+    assert params.config.num_query_rounds == len(proof_t.query_round_proofs)
+
+    precomputed = PrecomputedReducedOpeningsTarget(
+        openings_t, challenges_t.fri_alpha, builder
+    )
+    for i, round_proof in enumerate(proof_t.query_round_proofs):
+        _fri_verifier_query_round_multi(
+            builder, instance, challenges_t, precomputed, initial_merkle_caps_t,
+            proof_t, challenges_t.fri_query_indices[i], min_log_n, log_n,
+            current_log_n, degree_sub_one_bits_vec, round_proof, params,
+        )
+
+
+def _fri_verifier_query_round_multi(builder, instance, challenges_t, precomputed,
+                                    initial_merkle_caps_t, proof_t, x_index,
+                                    min_log_n: int, max_log_n: int, log_n_t,
+                                    degree_sub_one_bits_vec, round_proof,
+                                    params) -> None:
+    cap_height = params.config.cap_height
+    n_index = builder.sub(log_n_t, builder.constant(min_log_n))
+    x_index_bits = builder.low_bits(x_index, max_log_n, 64)
+
+    cap_indices = [
+        builder.le_sum(x_index_bits[n - cap_height:n])
+        for n in range(min_log_n, max_log_n + 1)
+    ]
+    cap_index = builder.random_access(n_index, cap_indices)
+
+    one = builder.one()
+    for (evals, merkle_proof), cap in zip(
+        round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps_t
+    ):
+        builder.verify_merkle_proof_to_cap_with_cap_indices(
+            one, list(evals), x_index_bits, min_log_n, max_log_n,
+            n_index, cap_index, cap, merkle_proof,
+        )
+
+    # subgroup_x per candidate domain size, then select the live one
+    g_const = builder.constant(fs.MULTIPLICATIVE_GROUP_GENERATOR)
+    subgroup_x_vec = []
+    for n_log in range(min_log_n, max_log_n + 1):
+        phi = fs.primitive_root_of_unity(n_log)
+        phi_pow = builder.exp_from_bits_const_base(
+            phi, list(reversed(x_index_bits[:n_log]))
+        )
+        subgroup_x_vec.append(builder.mul(g_const, phi_pow))
+    subgroup_x = builder.random_access(n_index, subgroup_x_vec)
+
+    old_eval = fri_combine_initial(
+        builder, instance, round_proof.initial_trees_proof, challenges_t.fri_alpha,
+        subgroup_x, precomputed, params,
+    )
+
+    idx = len(degree_sub_one_bits_vec) - sum(params.reduction_arity_bits)
+    for i, arity_bits in enumerate(params.reduction_arity_bits):
+        evals = round_proof.steps[i].evals
+        coset_index_bits = x_index_bits[arity_bits:]
+        x_index_within_coset_bits = x_index_bits[:arity_bits]
+        x_index_within_coset = builder.le_sum(x_index_within_coset_bits)
+        step_active = degree_sub_one_bits_vec[idx]
+
+        new_eval = builder.random_access_extension(x_index_within_coset, list(evals))
+        builder.conditional_assert_eq_ext(step_active.target, new_eval, old_eval)
+
+        ev = compute_evaluation(
+            builder, subgroup_x, x_index_within_coset_bits, arity_bits, evals,
+            challenges_t.fri_betas[i],
+        )
+        old_eval = builder.select_ext(step_active, ev, old_eval)
+
+        flat = [c for e in evals for c in e.parts]
+        builder.verify_merkle_proof_to_cap_with_cap_indices(
+            step_active.target, flat, coset_index_bits, min_log_n, max_log_n,
+            n_index, cap_index, proof_t.commit_phase_merkle_caps[i],
+            round_proof.steps[i].merkle_proof,
+        )
+
+        subgroup_x_cur = builder.exp_power_of_2(subgroup_x, arity_bits)
+        subgroup_x = builder.select(step_active, subgroup_x_cur, subgroup_x)
+        x_index_bits = coset_index_bits
+        idx += arity_bits
+
+    acc = builder.zero_extension()
+    for coeff in reversed(proof_t.final_poly):
+        acc = builder.scalar_mul_add_extension(subgroup_x, acc, coeff)
+    builder.connect_extension(acc, old_eval)
+
+
 # -- witness filling (reference fri/witness_util.rs) --------------------------
+
+_ZERO_DIGEST = (0, 0, 0, 0)
 
 
 def set_fri_proof_target(pw, proof_t: FriProofTarget, proof) -> None:
+    """Fills a FriProofTarget; targets beyond the proof's actual shape (a
+    smaller-degree proof in a max-degree target) are zero-padded, matching
+    the prover's unified-shape transcript (reference fri/witness_util.rs)."""
     pw.set_target(proof_t.pow_witness, proof.pow_witness)
-    for t, v in zip(proof_t.final_poly, proof.final_poly):
+    assert len(proof_t.final_poly) >= len(proof.final_poly)
+    for t, v in zip(proof_t.final_poly, list(proof.final_poly)
+                    + [(0, 0)] * (len(proof_t.final_poly) - len(proof.final_poly))):
         pw.set_extension_target(t, v)
+    assert len(proof_t.commit_phase_merkle_caps) >= len(proof.commit_phase_merkle_caps)
     for cap_t, cap in zip(proof_t.commit_phase_merkle_caps, proof.commit_phase_merkle_caps):
         set_cap_target(pw, cap_t, cap)
+    for cap_t in proof_t.commit_phase_merkle_caps[len(proof.commit_phase_merkle_caps):]:
+        for digest_t in cap_t:
+            pw.set_hash_target(digest_t, _ZERO_DIGEST)
     for qt, q in zip(proof_t.query_round_proofs, proof.query_round_proofs):
         for (evals_t, mp_t), (evals, mp) in zip(
             qt.initial_trees_proof.evals_proofs, q.initial_trees_proof.evals_proofs
@@ -262,6 +380,11 @@ def set_fri_proof_target(pw, proof_t: FriProofTarget, proof) -> None:
             for t, v in zip(st.evals, s.evals):
                 pw.set_extension_target(t, v)
             set_merkle_proof_target(pw, st.merkle_proof, s.merkle_proof)
+        for st in qt.steps[len(q.steps):]:
+            for t in st.evals:
+                pw.set_extension_target(t, (0, 0))
+            for sib_t in st.merkle_proof.siblings:
+                pw.set_hash_target(sib_t, _ZERO_DIGEST)
 
 
 def set_cap_target(pw, cap_t, cap) -> None:
@@ -270,5 +393,8 @@ def set_cap_target(pw, cap_t, cap) -> None:
 
 
 def set_merkle_proof_target(pw, proof_t: MerkleProofTarget, proof) -> None:
+    assert len(proof_t.siblings) >= len(proof.siblings)
     for sib_t, sib in zip(proof_t.siblings, proof.siblings):
         pw.set_hash_target(sib_t, sib)
+    for sib_t in proof_t.siblings[len(proof.siblings):]:
+        pw.set_hash_target(sib_t, _ZERO_DIGEST)

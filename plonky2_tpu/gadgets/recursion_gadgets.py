@@ -124,7 +124,55 @@ class RecursionGadgetsMixin:
             self.random_access(access_index, [h[i] for h in v]) for i in range(4)
         ]
 
+    def exp(self, base: Target, exponent: Target, max_bits: int) -> Target:
+        """base^exponent for a target exponent of at most max_bits bits
+        (reference gadgets/arithmetic.rs exp)."""
+        return self.exp_from_bits(base, self.split_le(exponent, max_bits))
+
+    def exp_extension_from_bits(self, base, exponent_bits):
+        """base^(Σ bits_i·2^i) for an ExtensionTarget base (square-and-select,
+        reference gadgets/arithmetic_extension.rs exp_extension_from_bits)."""
+        one = self.one_extension()
+        acc = one
+        cur = base
+        for bit in exponent_bits:
+            acc = self.mul_extension(acc, self.select_ext(bit, cur, one))
+            cur = self.square_extension(cur)
+        return acc
+
+    # -- conditional equality -------------------------------------------------
+
+    def conditional_assert_eq(self, cond: Target, x: Target, y: Target) -> None:
+        """cond·(x − y) = 0 (reference circuit_builder.rs conditional_assert_eq)."""
+        self.assert_zero(self.mul(cond, self.sub(x, y)))
+
+    def conditional_assert_eq_ext(self, cond: Target, x, y) -> None:
+        c = self.convert_to_ext(cond)
+        prod = self.mul_extension(c, self.sub_extension(x, y))
+        self.connect_extension(prod, self.zero_extension())
+
     # -- in-circuit Merkle verification --------------------------------------
+
+    def verify_merkle_proof_to_cap_with_cap_indices(
+            self, condition: Target, leaf_data: list[Target], leaf_index_bits,
+            min_log_n: int, max_log_n: int, n_index: Target, cap_index: Target,
+            merkle_cap_t, proof_t) -> None:
+        """Variable-height Merkle path: walk all max-path siblings keeping a
+        shift register of intermediate roots, select the one matching the
+        actual tree height with n_index, and conditionally compare against
+        the cap (reference hash/merkle_proofs.rs:186-239)."""
+        zero = self.zero()
+        state = self.hash_or_noop(leaf_data)
+        num_log_n = max_log_n - min_log_n + 1
+        final_states = [state] * num_log_n
+        for bit, sibling in zip(leaf_index_bits, proof_t.siblings):
+            inputs = list(state) + list(sibling) + [zero] * 4
+            state = self.permute_swapped(inputs, bit)[:4]
+            final_states = final_states[1:] + [state]
+        for i in range(4):
+            result = self.random_access(cap_index, [h[i] for h in merkle_cap_t])
+            st = self.random_access(n_index, [s[i] for s in final_states])
+            self.conditional_assert_eq(condition, result, st)
 
     def verify_merkle_proof_to_cap_with_cap_index(self, leaf_data: list[Target],
                                                   leaf_index_bits, cap_index: Target,
@@ -137,6 +185,28 @@ class RecursionGadgetsMixin:
             inputs = list(state) + list(sibling) + [zero] * 4
             outs = self.permute_swapped(inputs, bit)
             state = outs[:4]
+        for i in range(4):
+            result = self.random_access(cap_index, [h[i] for h in merkle_cap_t])
+            self.connect(result, state[i])
+
+    def verify_batch_merkle_proof_to_cap_with_cap_index(
+            self, leaf_data: list, leaf_heights: list[int], leaf_index_bits,
+            cap_index: Target, merkle_cap_t, proof_t) -> None:
+        """BatchMerkleTree path: shorter matrices' rows are absorbed into the
+        running digest when the walk reaches their height
+        (reference hash/merkle_proofs.rs:243-296)."""
+        zero = self.zero()
+        state = self.hash_or_noop(list(leaf_data[0]))
+        current_height = leaf_heights[0]
+        leaf_data_index = 1
+        for bit, sibling in zip(leaf_index_bits, proof_t.siblings):
+            inputs = list(state) + list(sibling) + [zero] * 4
+            state = self.permute_swapped(inputs, bit)[:4]
+            current_height -= 1
+            if (leaf_data_index < len(leaf_heights)
+                    and current_height == leaf_heights[leaf_data_index]):
+                state = self.hash_or_noop(list(state) + list(leaf_data[leaf_data_index]))
+                leaf_data_index += 1
         for i in range(4):
             result = self.random_access(cap_index, [h[i] for h in merkle_cap_t])
             self.connect(result, state[i])

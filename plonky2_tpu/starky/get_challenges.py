@@ -72,7 +72,7 @@ def get_challenges(stark, proof_with_pis: StarkProofWithPublicInputs, config,
 
     final_poly_coeff_len = max_num_query_steps = None
     if verifier_circuit_fri_params is not None:
-        final_poly_coeff_len = 2 * verifier_circuit_fri_params.final_poly_len()
+        final_poly_coeff_len = verifier_circuit_fri_params.final_poly_len()
         max_num_query_steps = len(verifier_circuit_fri_params.reduction_arity_bits)
 
     return StarkProofChallenges(

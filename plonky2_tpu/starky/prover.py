@@ -48,7 +48,7 @@ def prove(stark, config, trace_poly_values, public_inputs,
 
     final_poly_coeff_len = max_num_query_steps = None
     if verifier_circuit_fri_params is not None:
-        final_poly_coeff_len = 2 * verifier_circuit_fri_params.final_poly_len()
+        final_poly_coeff_len = verifier_circuit_fri_params.final_poly_len()
         max_num_query_steps = len(verifier_circuit_fri_params.reduction_arity_bits)
 
     with timing.scope("compute trace commitment"):

@@ -60,3 +60,47 @@ def test_lookup_stark_recursive():
     set_stark_proof_with_pis_target(pw, pt, stark_pf)
     proof = data.prove(pw)
     data.verify(proof)
+
+
+def test_variable_degree_stark_recursive():
+    """ONE verifier circuit accepts STARK proofs of any degree in
+    [min_degree_bits, max_degree_bits] (reference recursive_verifier.rs
+    min_degree_bits_to_support / verify_fri_proof_with_multiple_degree_bits)."""
+    from plonky2_tpu.starky.fibonacci_stark import FibonacciStark as FS
+
+    from dataclasses import replace
+
+    from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
+
+    # 1 query round keeps the test circuit small (reference test does the
+    # same); verifier_degree_bits must satisfy final_poly_coeff_len(max) =
+    # 2^(final_poly_bits+1) so every smaller proof's final poly fits — for
+    # ConstantArityBits(4, 5) that means degree bits in {6, 10, 14, ...}.
+    base = StarkConfig.standard_fast_config()
+    stark_config = replace(base, fri_config=replace(base.fri_config, num_query_rounds=1))
+    max_db, min_db = 10, 4
+    vc_fri_params = stark_config.fri_params(max_db)
+
+    stark = FS(1 << max_db)
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pt = add_virtual_stark_proof_with_pis(builder, stark, stark_config, max_db,
+                                          with_degree_target=True)
+    verify_stark_proof_circuit(builder, stark, pt, stark_config, max_db,
+                               min_degree_bits_to_support=min_db)
+    builder.register_public_inputs(pt.public_inputs)
+    data = builder.build()
+
+    for db in (5, 7):
+        n = 1 << db
+        s = FS(n)
+        pis = [0, 1, fibonacci(n - 1, 0, 1)]
+        trace = s.generate_trace(pis[0], pis[1])
+        pf = stark_prove(s, stark_config, trace, pis,
+                         verifier_circuit_fri_params=vc_fri_params)
+        verify_stark_proof(s, pf, stark_config,
+                           verifier_circuit_fri_params=vc_fri_params)
+        pw = PartialWitness()
+        set_stark_proof_with_pis_target(pw, pt, pf, pis_degree_bits=db)
+        proof = data.prove(pw)
+        assert proof.public_inputs == pis
+        data.verify(proof)
