@@ -181,6 +181,10 @@ class CircuitOps:
     def mul_const(self, c: int, a):
         return self.builder.mul_const_extension(c, a)
 
+    def from_base_target(self, t):
+        """Lift a base Target into the extension ops domain."""
+        return self.builder.convert_to_ext(t)
+
 
 # -- extension algebra over the ops domain -----------------------------------
 # F_{p^D}[X]/(X^D - W) with coefficients that are themselves ops-domain

@@ -16,6 +16,7 @@ from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.starky.lookup import (
     Filter,
     GrandProductChallenge,
+    GrandProductChallengeSet,
     eval_helper_columns,
     get_grand_product_challenge_set,
     get_helper_cols,
@@ -196,9 +197,17 @@ def eval_cross_table_lookup_checks(ops, frame, ctl_vars: list, consumer,
     """ops-generic CTL constraints (reference cross_table_lookup.rs:558-631)."""
     local = frame.get_local_values()
     nxt = frame.get_next_values()
+
+    def chal(v):
+        # int in the native/device flows; a base Target in-circuit
+        if isinstance(v, int):
+            return ops.constant(v)
+        lift = getattr(ops, "from_base_target", None)
+        return lift(v) if lift else v
+
     for lv in ctl_vars:
-        beta = ops.constant(lv.challenges.beta)
-        gamma = ops.constant(lv.challenges.gamma)
+        beta = chal(lv.challenges.beta)
+        gamma = chal(lv.challenges.gamma)
         evals = [
             [c.eval(ops, local, nxt) for c in group] for group in lv.columns
         ]
@@ -378,3 +387,81 @@ def verify_multi_table(starks, config, proofs, cross_table_lookups) -> None:
         ctl_zs_first.append(list(pwp.proof.openings.ctl_zs_first or []))
 
     verify_cross_table_lookups(cross_table_lookups, ctl_zs_first, config)
+
+
+# -- in-circuit multi-table verification --------------------------------------
+
+
+def verify_cross_table_lookups_circuit(builder, cross_table_lookups,
+                                       ctl_zs_first_t: list, config) -> None:
+    """Circuit dual of verify_cross_table_lookups: Σ looking ctl_zs_first ==
+    looked ctl_zs_first (reference cross_table_lookup.rs
+    verify_cross_table_lookups_circuit)."""
+    iters = [iter(v) for v in ctl_zs_first_t]
+    for ctl in cross_table_lookups:
+        filtered = []
+        for t in ctl.looking_tables:
+            if t.table not in filtered:
+                filtered.append(t.table)
+        for _ in range(config.num_challenges):
+            s = builder.zero()
+            for table in filtered:
+                s = builder.add(s, next(iters[table]))
+            looked = next(iters[ctl.looked_table.table])
+            builder.connect(s, looked)
+
+
+def verify_multi_table_circuit(builder, starks, config, proof_ts,
+                               cross_table_lookups,
+                               degree_bits_per_table: list[int]) -> None:
+    """Verify ALL tables' STARK proofs inside one plonky2 circuit with a
+    shared in-circuit transcript and CTL challenges — the circuit dual of
+    verify_multi_table (the reference keeps this orchestration out of tree;
+    its single-table surface is verify_stark_proof_with_challenges_circuit
+    with ctl_vars)."""
+    from plonky2_tpu.recursion.recursive_challenger import RecursiveChallenger
+    from plonky2_tpu.starky.recursive_verifier import (
+        _get_challenges_target,
+        _observe_stark_config,
+        verify_stark_proof_with_challenges_circuit,
+    )
+
+    challenger = RecursiveChallenger(builder)
+    _observe_stark_config(builder, challenger, config)
+    for pt in proof_ts:
+        challenger.observe_elements(pt.public_inputs)
+        challenger.observe_cap(pt.proof.trace_cap)
+    ctl_challenges = GrandProductChallengeSet(challenges=[
+        GrandProductChallenge(challenger.get_challenge(), challenger.get_challenge())
+        for _ in range(config.num_challenges)
+    ])
+    ctl_desc = ctl_shape_data(
+        len(starks), cross_table_lookups, ctl_challenges,
+        max(s.constraint_degree() for s in starks),
+    )
+
+    ctl_zs_first_t = []
+    for i, (stark, pt) in enumerate(zip(starks, proof_ts)):
+        num_helpers_per_z = [len(z.helper_columns) for z in ctl_desc[i].zs_columns]
+        num_lookup_columns = stark.num_lookup_helper_columns(config)
+        challenges = _get_challenges_target(
+            builder, stark, pt, config, degree_bits_per_table[i],
+            challenger=challenger, observe_instance=False,
+            ctl_challenge_set=ctl_challenges,
+            ctl_zs_data=ctl_desc[i].zs_columns,
+            num_ctl_helpers_per_z=num_helpers_per_z,
+        )
+        ctl_vars = CtlCheckVars.from_proof(
+            ctl_desc[i].zs_columns,
+            pt.proof.openings.auxiliary_polys,
+            pt.proof.openings.auxiliary_polys_next,
+            num_lookup_columns, num_helpers_per_z,
+        )
+        verify_stark_proof_with_challenges_circuit(
+            builder, stark, pt.proof, pt.public_inputs, challenges, config,
+            degree_bits_per_table[i], ctl_vars=ctl_vars,
+        )
+        ctl_zs_first_t.append(list(pt.proof.openings.ctl_zs_first or []))
+
+    verify_cross_table_lookups_circuit(builder, cross_table_lookups,
+                                       ctl_zs_first_t, config)

@@ -78,3 +78,58 @@ def test_ctl_mismatch_rejected(ctl_setup):
     with pytest.raises(Exception):
         proofs, _ = prove_multi_table([a, bad_b], config, traces, [[], []], ctls)
         verify_multi_table([a, bad_b], config, proofs, ctls)
+
+
+def test_ctl_recursive_multi_table(ctl_setup):
+    """Both tables' proofs + the cross-table sum check verified inside ONE
+    plonky2 circuit (circuit dual of verify_multi_table; the reference's
+    in-tree surface is verify_stark_proof_with_challenges_circuit with
+    ctl_vars)."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.starky.cross_table_lookup import (
+        ctl_shape_data,
+        verify_multi_table_circuit,
+    )
+    from plonky2_tpu.starky.lookup import (
+        GrandProductChallenge,
+        GrandProductChallengeSet,
+    )
+    from plonky2_tpu.starky.recursive_verifier import (
+        add_virtual_stark_proof_with_pis,
+        set_stark_proof_with_pis_target,
+    )
+    from plonky2_tpu.util import log2_strict
+
+    a, b, ctls = ctl_setup
+    starks = [a, b]
+    config = StarkConfig.standard_fast_config()
+    traces = [a.generate_trace(), b.generate_trace()]
+    proofs, _ = prove_multi_table(starks, config, traces, [[], []], ctls)
+    verify_multi_table(starks, config, proofs, ctls)
+    degree_bits = [log2_strict(t.shape[1]) for t in traces]
+
+    # shape-only CTL descriptor to size the per-table aux/ctl_zs targets
+    dummy_chals = GrandProductChallengeSet(challenges=[
+        GrandProductChallenge(0, 0) for _ in range(config.num_challenges)])
+    desc = ctl_shape_data(len(starks), ctls,
+                          dummy_chals, max(s.constraint_degree() for s in starks))
+
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pts = []
+    for i, stark in enumerate(starks):
+        num_helper_zs = (sum(len(z.helper_columns) for z in desc[i].zs_columns)
+                         + len(desc[i].zs_columns))
+        pts.append(add_virtual_stark_proof_with_pis(
+            builder, stark, config, degree_bits[i],
+            num_ctl_helper_zs=num_helper_zs,
+            num_ctl_zs=len(desc[i].zs_columns)))
+    verify_multi_table_circuit(builder, starks, config, pts, ctls, degree_bits)
+    data = builder.build()
+
+    pw = PartialWitness()
+    for pt, pf in zip(pts, proofs):
+        set_stark_proof_with_pis_target(pw, pt, pf)
+    proof = data.prove(pw)
+    data.verify(proof)
