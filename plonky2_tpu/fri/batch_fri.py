@@ -285,3 +285,127 @@ def verify_batch_fri_proof(degree_bits: list[int], instances, openings,
             final_eval = fs.ext_add(fs.ext_mul(final_eval, sx), coeff)
         if final_eval != old_eval:
             raise ValueError("Batch FRI final polynomial evaluation is invalid.")
+
+
+# -- in-circuit batch FRI verification ----------------------------------------
+
+
+def verify_batch_fri_proof_circuit(builder, degree_bits: list[int], instances,
+                                   openings_t_list, challenges_t,
+                                   initial_merkle_caps_t,
+                                   leaf_heights_per_oracle, proof_t,
+                                   params) -> None:
+    """Circuit dual of verify_batch_fri_proof
+    (reference batch_fri/recursive_verifier.rs:22-332): batch-Merkle initial
+    proofs, and smaller-degree instances absorbed into the running fold when
+    the codeword reaches their size."""
+    from plonky2_tpu.field import scalar as _fs
+    from plonky2_tpu.fri.recursive_verifier import (
+        PrecomputedReducedOpeningsTarget,
+        compute_evaluation as compute_evaluation_t,
+        fri_combine_initial,
+        fri_verify_proof_of_work,
+    )
+
+    assert params.final_poly_len() == len(proof_t.final_poly)
+    fri_verify_proof_of_work(builder, challenges_t.fri_pow_response, params.config)
+    assert params.config.num_query_rounds == len(proof_t.query_round_proofs)
+
+    precomputed = [
+        PrecomputedReducedOpeningsTarget(o, challenges_t.fri_alpha, builder)
+        for o in openings_t_list
+    ]
+    lde_bits = [d + params.config.rate_bits for d in degree_bits]
+
+    # per-instance polynomial-index offsets into the concatenated leaf rows
+    offsets = []
+    acc = [0] * len(initial_merkle_caps_t)
+    for inst in instances:
+        offsets.append(list(acc))
+        for oi, o in enumerate(inst.oracles):
+            acc[oi] += o.num_polys
+
+    g_const = builder.constant(_fs.MULTIPLICATIVE_GROUP_GENERATOR)
+
+    for qi, round_proof in enumerate(proof_t.query_round_proofs):
+        x_index = challenges_t.fri_query_indices[qi]
+        n_bits = lde_bits[0]
+        x_index_bits = builder.low_bits(x_index, n_bits, 64)
+        cap_index = builder.le_sum(
+            x_index_bits[n_bits - params.config.cap_height:])
+
+        for oi, ((evals, merkle_proof), cap) in enumerate(zip(
+            round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps_t
+        )):
+            leaves = []
+            pos = 0
+            for inst in instances:
+                k = inst.oracles[oi].num_polys
+                leaves.append(list(evals[pos:pos + k]))
+                pos += k
+            builder.verify_batch_merkle_proof_to_cap_with_cap_index(
+                leaves, leaf_heights_per_oracle[oi], x_index_bits, cap_index,
+                cap, merkle_proof,
+            )
+
+        def _view(bi):
+            class _V:
+                def unsalted_eval(self, oracle_index, poly_index, salted):
+                    evals = round_proof.initial_trees_proof.evals_proofs[oracle_index][0]
+                    return evals[offsets[bi][oracle_index] + poly_index]
+
+            return _V()
+
+        phi = _fs.primitive_root_of_unity(n_bits)
+        phi_pow = builder.exp_from_bits_const_base(phi, list(reversed(x_index_bits)))
+        subgroup_x = builder.mul(g_const, phi_pow)
+
+        old_eval = fri_combine_initial(
+            builder, instances[0], _view(0), challenges_t.fri_alpha, subgroup_x,
+            precomputed[0], params,
+        )
+        batch_index = 1
+
+        n = n_bits
+        for i, arity_bits in enumerate(params.reduction_arity_bits):
+            evals = round_proof.steps[i].evals
+            coset_index_bits = x_index_bits[arity_bits:]
+            within_bits = x_index_bits[:arity_bits]
+            within = builder.le_sum(within_bits)
+
+            new_eval = builder.random_access_extension(within, list(evals))
+            builder.connect_extension(new_eval, old_eval)
+
+            old_eval = compute_evaluation_t(
+                builder, subgroup_x, within_bits, arity_bits, evals,
+                challenges_t.fri_betas[i],
+            )
+            flat = [c for e in evals for c in e.parts]
+            builder.verify_merkle_proof_to_cap_with_cap_index(
+                flat, coset_index_bits, cap_index,
+                proof_t.commit_phase_merkle_caps[i],
+                round_proof.steps[i].merkle_proof,
+            )
+            subgroup_x = builder.exp_power_of_2(subgroup_x, arity_bits)
+            x_index_bits = coset_index_bits
+            n -= arity_bits
+
+            if batch_index < len(lde_bits) and n == lde_bits[batch_index]:
+                phi = _fs.primitive_root_of_unity(n)
+                phi_pow = builder.exp_from_bits_const_base(
+                    phi, list(reversed(x_index_bits)))
+                subgroup_x_init = builder.mul(g_const, phi_pow)
+                ev = fri_combine_initial(
+                    builder, instances[batch_index], _view(batch_index),
+                    challenges_t.fri_alpha, subgroup_x_init,
+                    precomputed[batch_index], params,
+                )
+                old_eval = builder.mul_extension(old_eval, challenges_t.fri_betas[i])
+                old_eval = builder.add_extension(old_eval, ev)
+                batch_index += 1
+
+        assert batch_index == len(instances), "Wrong number of folded instances."
+        acc_ev = builder.zero_extension()
+        for coeff in reversed(proof_t.final_poly):
+            acc_ev = builder.scalar_mul_add_extension(subgroup_x, acc_ev, coeff)
+        builder.connect_extension(acc_ev, old_eval)
