@@ -146,6 +146,12 @@ def fft(coeffs: jax.Array) -> jax.Array:
     lg_n = n.bit_length() - 1
     assert 1 << lg_n == n, "length must be a power of two"
     if n >= _FOUR_STEP_MIN:
+        from plonky2_tpu.ops import pallas_ntt as _pn
+
+        batch = coeffs.shape[:-1]
+        B = int(np.prod(batch)) if batch else 1
+        if _pn.enabled() and _pn.fourstep_supported(lg_n, B):
+            return _pn.fft_four_step_pallas(coeffs, interpret=_pn._INTERPRET)
         return _fft_four_step(coeffs)
     v = jnp.take(coeffs, jnp.asarray(bit_reverse_perm(lg_n)), axis=-1)
     return _butterflies(v, lg_n, 0)
@@ -205,6 +211,15 @@ def lde_fft(coeffs: jax.Array, rate_bits: int, shift: int | None = None) -> jax.
         # lane-friendly layouts, same total butterfly work as the zero-tail
         # trick (reference fft.rs:165-202).
         table = jnp.asarray(_lde_coset_scale_table(shift or 1, lg_m, rate_bits))
+        from plonky2_tpu.ops import pallas_ntt as _pn
+
+        R = 1 << rate_bits
+        B = R * int(np.prod(coeffs.shape[:-1]))
+        if _pn.enabled() and _pn.fourstep_supported(lg_m, B):
+            # fully fused path: coset scaling is the kernel prologue and the
+            # final swapaxes rides the four-step's own output transpose
+            return _pn.fft_four_step_pallas(coeffs, interpret=_pn._INTERPRET,
+                                            interleave=R, scale=table)
         scaled = g.mul(coeffs[..., None, :], table)  # [..., R, m]
         ev = fft(scaled)
         return jnp.swapaxes(ev, -1, -2).reshape(coeffs.shape[:-1] + (1 << lg_n,))

@@ -55,12 +55,18 @@ def pallas_available() -> bool:
         return False
 
 
-def should_use(lg_m: int, start_stage: int) -> bool:
-    if _FLAG == "0" or start_stage != 0 or not (_MIN_LG <= lg_m <= _MAX_LG):
+def enabled() -> bool:
+    if _FLAG == "0":
         return False
     if _FLAG == "1":
         return True
     return pallas_available()
+
+
+def should_use(lg_m: int, start_stage: int) -> bool:
+    if start_stage != 0 or not (_MIN_LG <= lg_m <= _MAX_LG):
+        return False
+    return enabled()
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,34 +82,131 @@ def _twiddle_planes(lg_m: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool):
+    """Unrolled butterfly network on a VMEM-resident [m, s, 128] plane pair.
+
+    dif=False: DIT, stages ascending, bit-reversed input -> natural output,
+               butterfly (e + w·o, e − w·o).
+    dif=True:  the TRANSPOSED network (the DFT matrix is symmetric, and the
+               bit-reversal is an involution, so F = P·B_1ᵀ…B_lgᵀ): stages
+               descending, SAME per-stage twiddles, butterfly
+               (x0 + x1, w·(x0 − x1)); natural input -> bit-reversed output.
+    """
+    m = 1 << lg_m
+    order = range(lg_m, 0, -1) if dif else range(1, lg_m + 1)
+    for st in order:
+        half = 1 << (st - 1)
+        nb = m >> st
+        off = half - 1  # stage-st twiddle rows live at [2^(st-1)-1, 2^st-1)
+        wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
+        wh = whi[off:off + half][None, :, None, :]
+        vvlo = vlo.reshape(nb, 2, half, s, _LANE)
+        vvhi = vhi.reshape(nb, 2, half, s, _LANE)
+        elo, ehi = vvlo[:, 0], vvhi[:, 0]
+        dlo, dhi = vvlo[:, 1], vvhi[:, 1]
+        if st == 1:
+            # the half=1 stage's only twiddle is w_2^0 = 1 — pure add/sub
+            plo, phi = gl_add(elo, ehi, dlo, dhi)
+            mlo, mhi = gl_sub(elo, ehi, dlo, dhi)
+        elif dif:
+            plo, phi = gl_add(elo, ehi, dlo, dhi)
+            slo, shi = gl_sub(elo, ehi, dlo, dhi)
+            mlo, mhi = gl_mul(slo, shi, wl, wh)
+        else:
+            tlo, thi = gl_mul(dlo, dhi, wl, wh)
+            plo, phi = gl_add(elo, ehi, tlo, thi)
+            mlo, mhi = gl_sub(elo, ehi, tlo, thi)
+        vlo = jnp.concatenate([plo[:, None], mlo[:, None]], 1).reshape(m, s, _LANE)
+        vhi = jnp.concatenate([phi[:, None], mhi[:, None]], 1).reshape(m, s, _LANE)
+    return vlo, vhi
+
+
 def _make_kernel(lg_m: int, s: int):
     m = 1 << lg_m
 
     def kernel(wlo_ref, whi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
-        vlo = vlo_ref[...].reshape(m, s, _LANE)
-        vhi = vhi_ref[...].reshape(m, s, _LANE)
-        wlo = wlo_ref[...]
-        whi = whi_ref[...]
-        off = 0
-        for st in range(1, lg_m + 1):
-            half = 1 << (st - 1)
-            nb = m >> st
-            wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
-            wh = whi[off:off + half][None, :, None, :]
-            vvlo = vlo.reshape(nb, 2, half, s, _LANE)
-            vvhi = vhi.reshape(nb, 2, half, s, _LANE)
-            elo, ehi = vvlo[:, 0], vvhi[:, 0]
-            dlo, dhi = vvlo[:, 1], vvhi[:, 1]
-            tlo, thi = gl_mul(dlo, dhi, wl, wh)
-            plo, phi = gl_add(elo, ehi, tlo, thi)
-            mlo, mhi = gl_sub(elo, ehi, tlo, thi)
-            vlo = jnp.concatenate([plo[:, None], mlo[:, None]], 1).reshape(m, s, _LANE)
-            vhi = jnp.concatenate([phi[:, None], mhi[:, None]], 1).reshape(m, s, _LANE)
-            off += half
+        vlo, vhi = _stages(
+            lg_m, s,
+            vlo_ref[...].reshape(m, s, _LANE), vhi_ref[...].reshape(m, s, _LANE),
+            wlo_ref[...], whi_ref[...], dif=False,
+        )
         olo_ref[...] = vlo.reshape(m, 1, s, _LANE)
         ohi_ref[...] = vhi.reshape(m, 1, s, _LANE)
 
     return kernel
+
+
+def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False):
+    """Phase-1 four-step kernel: optional coset-scale prologue (interleaved
+    LDE), DIF stages, fused four-step twiddle epilogue — operating directly
+    on the natural [B, a, b] layout (no pre-transpose, no bit-reverse
+    gather)."""
+    m = 1 << lg_m
+
+    def kernel(wlo_ref, whi_ref, twlo_ref, twhi_ref, *rest):
+        if with_scale:
+            sclo_ref, schi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref = rest
+        else:
+            vlo_ref, vhi_ref, olo_ref, ohi_ref = rest
+        vlo = vlo_ref[...].reshape(m, s, _LANE)
+        vhi = vhi_ref[...].reshape(m, s, _LANE)
+        if with_scale:
+            vlo, vhi = gl_mul(vlo, vhi,
+                              sclo_ref[...].reshape(m, s, _LANE),
+                              schi_ref[...].reshape(m, s, _LANE))
+        vlo, vhi = _stages(lg_m, s, vlo, vhi, wlo_ref[...], whi_ref[...], dif=True)
+        twlo = twlo_ref[...].reshape(m, s, _LANE)
+        twhi = twhi_ref[...].reshape(m, s, _LANE)
+        vlo, vhi = gl_mul(vlo, vhi, twlo, twhi)
+        olo_ref[...] = vlo.reshape(1, m, 1, s, _LANE)
+        ohi_ref[...] = vhi.reshape(1, m, 1, s, _LANE)
+
+    return kernel
+
+
+def _sublanes_for(lg_m: int) -> int:
+    # VMEM live set of the unrolled chain scales with m·s; keep it bounded.
+    return {9: 8, 10: 8, 11: 4, 12: 2}.get(lg_m, _SUBLANES)
+
+
+def _compile_kwargs(interpret: bool) -> dict:
+    if interpret:
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic's default scoped-vmem limit (16MB) is too small for the
+    # unrolled stage chain's live set; v5e has 128MB VMEM.
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024)}
+
+
+# x64 mode makes Python-int index components trace as i64, which Mosaic
+# cannot legalize — pin every index-map component to i32.
+def _i32(x):
+    return jnp.asarray(x, jnp.int32)
+
+
+_Z = np.int32(0)
+
+
+def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool):
+    """DIT butterfly network on [m, nV, s, 128] planes -> same shape."""
+    import jax.experimental.pallas as pl
+
+    m = 1 << lg_m
+    nV = lo.shape[1]
+    wlo, whi = _twiddle_planes(lg_m)
+    vspec = pl.BlockSpec((m, 1, s, _LANE), lambda i: (_Z, _i32(i), _Z, _Z))
+    wspec = pl.BlockSpec((m - 1, _LANE), lambda i: (_Z, _Z))
+    return pl.pallas_call(
+        _make_kernel(lg_m, s),
+        grid=(nV,),
+        in_specs=[wspec, wspec, vspec, vspec],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2,
+        interpret=interpret,
+        **_compile_kwargs(interpret),
+    )(jnp.asarray(wlo), jnp.asarray(whi), lo, hi)
 
 
 def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
@@ -111,8 +214,6 @@ def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
     """Drop-in for ntt._butterflies0 (start_stage=0): DIT stages over axis 0
     of [m, V...] u64 (input bit-reversed along axis 0)."""
     assert start_stage == 0
-    import jax.experimental.pallas as pl
-
     m = 1 << lg_m
     assert v.shape[0] == m, (v.shape, m)
     rest = v.shape[1:]
@@ -126,37 +227,131 @@ def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
     lo, hi = split_planes(x)
-    lo = lo.reshape(m, nV, s, _LANE)
-    hi = hi.reshape(m, nV, s, _LANE)
-    wlo, whi = _twiddle_planes(lg_m)
-
-    # x64 mode makes Python-int index components trace as i64, which Mosaic
-    # cannot legalize — pin everything to i32.
-    vspec = pl.BlockSpec(
-        (m, 1, s, _LANE),
-        lambda i: (np.int32(0), jnp.asarray(i, jnp.int32), np.int32(0), np.int32(0)),
-    )
-    wspec = pl.BlockSpec((m - 1, _LANE), lambda i: (np.int32(0), np.int32(0)))
-    kwargs = {}
-    if not interpret:
-        from jax.experimental.pallas import tpu as pltpu
-
-        # Mosaic's default scoped-vmem limit (16MB) is too small for the
-        # unrolled stage chain's live set; v5e has 128MB VMEM.
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
-    olo, ohi = pl.pallas_call(
-        _make_kernel(lg_m, s),
-        grid=(nV,),
-        in_specs=[wspec, wspec, vspec, vspec],
-        out_specs=[vspec, vspec],
-        out_shape=[jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2,
-        interpret=interpret,
-        **kwargs,
-    )(jnp.asarray(wlo), jnp.asarray(whi), lo, hi)
-
+    olo, ohi = _dit_planes(lo.reshape(m, nV, s, _LANE), hi.reshape(m, nV, s, _LANE),
+                           lg_m, s, interpret)
     out = join_planes(olo, ohi).reshape(m, nV * blk)
     if pad:
         out = out[:, :V]
     return out.reshape((m,) + rest)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddle_planes(lg_n: int, lg_a: int) -> tuple[np.ndarray, np.ndarray]:
+    """[a, b] four-step table W[k1, i2] with rows pre-permuted to the DIF
+    output order (row r holds W[brev(r), ·])."""
+    from plonky2_tpu.field.ntt import _four_step_twiddles, bit_reverse_perm
+
+    t = _four_step_twiddles(lg_n, lg_a)[bit_reverse_perm(lg_a)]
+    return ((t & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (t >> np.uint64(32)).astype(np.uint32))
+
+
+def fourstep_supported(lg_n: int, B: int) -> bool:
+    lg_a = (lg_n + 1) // 2
+    lg_b = lg_n - lg_a
+    if not (9 <= lg_b <= lg_a <= 12):
+        return False
+    s1 = _sublanes_for(lg_a)
+    s2 = _sublanes_for(lg_b)
+    return ((1 << lg_b) % (s1 * _LANE) == 0
+            and (B << lg_a) % (s2 * _LANE) == 0)
+
+
+def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
+                         interleave: int | None = None,
+                         scale: jax.Array | None = None) -> jax.Array:
+    """Bailey four-step NTT over the last axis, Pallas end-to-end: DIF phase
+    directly on the natural [B, a, b] layout with the four-step twiddle fused
+    as a kernel epilogue, ONE gather+transpose between phases, DIT phase, and
+    u32 planes maintained throughout (one split, one join).
+
+    Matches `field.ntt._fft_four_step` bit-for-bit.
+    """
+    import jax.experimental.pallas as pl
+
+    from plonky2_tpu.field.ntt import bit_reverse_perm
+
+    n = coeffs.shape[-1]
+    lg_n = n.bit_length() - 1
+    lg_a = (lg_n + 1) // 2
+    a, b = 1 << lg_a, n >> lg_a
+    lg_b = lg_n - lg_a
+    batch = coeffs.shape[:-1]
+    B0 = int(np.prod(batch)) if batch else 1
+    R = 1 if scale is None else scale.shape[0]
+    B = B0 * R  # with a scale table, each input row fans out to R cosets
+    assert fourstep_supported(lg_n, B)
+    if scale is None:
+        assert interleave is None or batch[-1] == interleave
+    else:
+        assert interleave == R, "scale fan-out implies interleaved output"
+
+    s1 = _sublanes_for(lg_a)
+    blk1 = s1 * _LANE
+    nbc = b // blk1
+    lo, hi = split_planes(coeffs.reshape(B0, a, b))
+    lo = lo.reshape(B0, a, nbc, s1, _LANE)
+    hi = hi.reshape(B0, a, nbc, s1, _LANE)
+    wlo, whi = _twiddle_planes(lg_a)
+    twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a)
+
+    if scale is None:
+        in_map = lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z)
+    else:
+        rr = np.int32(R)
+        in_map = lambda iB, ic: (_i32(iB) // rr, _Z, _i32(ic), _Z, _Z)
+    inspec = pl.BlockSpec((1, a, 1, s1, _LANE), in_map)
+    ospec = pl.BlockSpec((1, a, 1, s1, _LANE),
+                         lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z))
+    wspec = pl.BlockSpec((a - 1, _LANE), lambda iB, ic: (_Z, _Z))
+    twspec = pl.BlockSpec((a, 1, s1, _LANE),
+                          lambda iB, ic: (_Z, _i32(ic), _Z, _Z))
+    operands = [jnp.asarray(wlo), jnp.asarray(whi),
+                jnp.asarray(twlo).reshape(a, nbc, s1, _LANE),
+                jnp.asarray(twhi).reshape(a, nbc, s1, _LANE)]
+    in_specs = [wspec, wspec, twspec, twspec]
+    if scale is not None:
+        rr = np.int32(R)
+        scspec = pl.BlockSpec(
+            (1, a, 1, s1, _LANE),
+            lambda iB, ic: (_i32(iB) % rr, _Z, _i32(ic), _Z, _Z),
+        )
+        sclo, schi = split_planes(jnp.asarray(scale))
+        operands += [sclo.reshape(R, a, nbc, s1, _LANE),
+                     schi.reshape(R, a, nbc, s1, _LANE)]
+        in_specs += [scspec, scspec]
+    lo, hi = pl.pallas_call(
+        _make_dif_kernel(lg_a, s1, with_scale=scale is not None),
+        grid=(B, nbc),
+        in_specs=in_specs + [inspec, inspec],
+        out_specs=[ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((B, a, nbc, s1, _LANE), jnp.uint32)] * 2,
+        interpret=interpret,
+        **_compile_kwargs(interpret),
+    )(*operands, lo, hi)
+
+    # middle data movement: un-bit-reverse phase-1 rows, transpose to
+    # [b, B, a], bit-reverse phase-2 rows — row-granular gathers only
+    brev_a = jnp.asarray(bit_reverse_perm(lg_a))
+    brev_b = jnp.asarray(bit_reverse_perm(lg_b))
+    s2 = _sublanes_for(lg_b)
+    nV2 = (B * a) // (s2 * _LANE)
+
+    def mid(x):
+        x = jnp.transpose(x.reshape(B, a, b)[:, brev_a], (2, 0, 1))
+        return x[brev_b].reshape(b, nV2, s2, _LANE)
+
+    lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret)
+
+    out = join_planes(lo, hi)
+    if interleave:
+        # interleaved-coset LDE epilogue: batch is [P, R]; emit
+        # out[p, (k1 + a·k2)·R + j] in ONE transpose (folds the caller's
+        # swapaxes pass into the four-step's own output movement)
+        R = interleave
+        P = B // R
+        o = out.reshape(b, P, R, a)
+        out_batch = batch if scale is not None else batch[:-1]
+        return jnp.transpose(o, (1, 0, 3, 2)).reshape(out_batch + (n * R,))
+    out = out.reshape(b, B, a)
+    return jnp.transpose(out, (1, 0, 2)).reshape(batch + (n,))

@@ -72,3 +72,31 @@ def test_fft_with_pallas_interpret(monkeypatch):
     monkeypatch.setattr(pallas_ntt, "_FLAG", "0")
     want = np.asarray(ntt.fft(coeffs))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fourstep_pallas_matches_xla():
+    """DIF+twiddle-epilogue / DIT four-step (interpret) vs the XLA four-step."""
+    from plonky2_tpu.ops.pallas_ntt import fft_four_step_pallas, fourstep_supported
+
+    rng = np.random.default_rng(42)
+    lg_n = 20
+    assert fourstep_supported(lg_n, 1)
+    coeffs = jnp.asarray(_rand_canonical(rng, (1, 1 << lg_n)))
+    want = np.asarray(ntt._fft_four_step(coeffs))
+    got = np.asarray(fft_four_step_pallas(coeffs, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lde_interleave_pallas(monkeypatch):
+    """Fused LDE epilogue (interleave transpose) vs the XLA path."""
+    from plonky2_tpu.ops import pallas_ntt
+
+    rng = np.random.default_rng(5)
+    coeffs = jnp.asarray(_rand_canonical(rng, (1, 1 << 20)))
+    assert pallas_ntt.fourstep_supported(20, 2)  # the path must be live
+    monkeypatch.setattr(pallas_ntt, "_FLAG", "0")
+    want = np.asarray(ntt.coset_lde(coeffs, 1))
+    monkeypatch.setattr(pallas_ntt, "_FLAG", "1")
+    monkeypatch.setattr(pallas_ntt, "_INTERPRET", True)
+    got = np.asarray(ntt.coset_lde(coeffs, 1))
+    np.testing.assert_array_equal(got, want)
