@@ -89,4 +89,27 @@ def sharded_prover_step(mesh: Mesh, num_polys: int = 8, degree_bits: int = 6,
 
     z = scan_z(rows)
     jax.block_until_ready(z)
+
+    # quotient-evaluation pattern: point-sharded (lanes on rows) constraint
+    # evaluation + alpha-reduction (local), then the coset iFFT whose
+    # butterflies XLA turns into sharded collectives
+    lane_sharded = NamedSharding(mesh, P(None, "rows"))
+    lde = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 63, size=(num_polys, n << 1),
+                                 dtype=np.uint64)), lane_sharded
+    )
+    alpha = np.uint64(7)
+
+    @jax.jit
+    def quotient(wires):
+        # toy transition constraint per wire pair + alpha fold, like the
+        # fused quotient program in plonk/prover.py
+        c = g.mul(wires, jnp.roll(wires, -1, axis=1))
+        acc = jnp.zeros((wires.shape[1],), dtype=jnp.uint64)
+        for i in range(wires.shape[0]):
+            acc = g.add(g.mul(acc, jnp.asarray(alpha)), c[i])
+        return ntt.coset_ifft(acc[None, :])
+
+    q = quotient(lde)
+    jax.block_until_ready(q)
     return cap, z
