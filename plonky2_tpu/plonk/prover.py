@@ -548,8 +548,12 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
 
 
 @jax.jit
+@jax.jit
 def _eval_polys_at(coeffs, z):
-    """Evaluate [J, n] base-coeff polys at the ext point z = (z0, z1)."""
+    """Evaluate [J, n] base-coeff polys at the ext point z = (z0, z1).
+
+    Jitted: the eager form dispatched ~600 ops (and as many per-shape
+    remote compiles under axon) per opening-set evaluation."""
     n = coeffs.shape[-1]
     zp0, zp1 = g.ext2_powers((z[0], z[1]), n)
     e0 = g.sum_mod(g.mul(coeffs, zp0[None, :]), axis=1)
