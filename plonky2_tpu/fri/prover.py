@@ -154,8 +154,8 @@ def _grind_chunk(intermediate, witness_pos, start, pow_bits):
         cand[:, None],
         states,
     )
-    out = ps.permute_dev(states)
-    resp = out[:, 7]  # challenger pops state[RATE-1] first
+    out = ps.permute_dev_sm(jnp.swapaxes(states, 0, 1))
+    resp = out[7]  # challenger pops state[RATE-1] first
     threshold = np.uint64(1) << np.uint64(64 - pow_bits)
     ok = resp < threshold
     found = jnp.any(ok)

@@ -27,28 +27,33 @@ from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE, SPONGE_WIDTH
 
 
 def hash_leaves_dev(leaves: jax.Array) -> jax.Array:
-    """Batched hash_or_noop over [n, width] -> [n, 4] digests."""
+    """Batched hash_or_noop over [n, width] -> [n, 4] digests.
+
+    Runs the sponge STATE-MAJOR ([12, n]) so the leaf batch owns the native
+    vector tile — the [n, 12] layout kept the 12-wide state on the lane axis
+    and used 12/128 lanes."""
     n, width = leaves.shape
     if width <= 4:
         pad = jnp.zeros((n, 4 - width), dtype=jnp.uint64)
         return jnp.concatenate([leaves, pad], axis=1) if width < 4 else leaves
-    state = jnp.zeros((n, SPONGE_WIDTH), dtype=jnp.uint64)
+    cols = jnp.swapaxes(leaves, 0, 1)  # [width, n]
+    state = jnp.zeros((SPONGE_WIDTH, n), dtype=jnp.uint64)
     for i in range(0, width, SPONGE_RATE):
-        chunk = leaves[:, i : i + SPONGE_RATE]
-        c = chunk.shape[1]
-        state = jnp.concatenate([chunk, state[:, c:]], axis=1)
-        state = ps.permute_dev(state)
-    return state[:, :4]
+        chunk = cols[i : i + SPONGE_RATE]
+        c = chunk.shape[0]
+        state = jnp.concatenate([chunk, state[c:]], axis=0)
+        state = ps.permute_dev_sm(state)
+    return jnp.swapaxes(state[:4], 0, 1)
 
 
 def compress_layer_dev(digests: jax.Array) -> jax.Array:
     """[2m, 4] digests -> [m, 4] parent digests (two_to_one compression)."""
     m2 = digests.shape[0]
-    pairs = digests.reshape(m2 // 2, 8)
+    pairs = jnp.swapaxes(digests.reshape(m2 // 2, 8), 0, 1)  # [8, m]
     state = jnp.concatenate(
-        [pairs, jnp.zeros((m2 // 2, SPONGE_WIDTH - 8), dtype=jnp.uint64)], axis=1
+        [pairs, jnp.zeros((SPONGE_WIDTH - 8, m2 // 2), dtype=jnp.uint64)], axis=0
     )
-    return ps.permute_dev(state)[:, :4]
+    return jnp.swapaxes(ps.permute_dev_sm(state)[:4], 0, 1)
 
 
 def merkle_layers_dev(leaves: jax.Array, cap_height: int) -> list[jax.Array]:

@@ -78,74 +78,90 @@ def _sbox_dev(x):
     return g.mul(g.mul(x3, x3), x)
 
 
-def _mds_limb_accum(v):
-    """sum_i CIRC[i] * roll(v, -i) + diag, for one 32-bit limb plane.
-
-    Exploits the circulant structure: out[r] = sum_i CIRC[i]*v[(r+i)%12]
-    (+ DIAG[0]*v[0] at r=0). Entries <= 41, so accumulations stay under
-    2^42 — exact in u64. (TPU's x64 rewriter has no u64 dot_general, so
-    this is rolls + scaled adds, which XLA fuses into one VPU loop.)
-    """
-    acc = v * np.uint64(MDS_MATRIX_CIRC[0])
-    for i in range(1, W):
-        acc = acc + jnp.roll(v, -i, axis=-1) * np.uint64(MDS_MATRIX_CIRC[i])
-    diag = jnp.concatenate(
-        [v[..., 0:1] * np.uint64(MDS_MATRIX_DIAG[0]), jnp.zeros_like(v[..., 1:])],
-        axis=-1,
-    )
-    return acc + diag
-
-
-def _mds_dev(state):
-    """MDS layer: out[..., r] = sum_i M[r,i] * state[..., i] mod p."""
-    lo = state & g.MASK32
-    hi = state >> g._32
-    acc_lo = _mds_limb_accum(lo)
-    acc_hi = _mds_limb_accum(hi)
-    # value = acc_lo + acc_hi * 2^32  (fits in 106 bits -> reduce via limbs)
+def _mds_reduce(acc_lo, acc_hi):
+    """Reduce acc_lo + acc_hi * 2^32 (each < 2^42) mod p, canonical."""
     hs_lo = acc_hi & g.MASK32
     hs_hi = acc_hi >> g._32
-    # acc_lo < 2^42, hs_lo << 32 <= 2^64 - 2^32  => sum < 2^64, no overflow
     t = acc_lo + (hs_lo << g._32)
     over = t < acc_lo
     t = jnp.where(over, t + g.EPSILON, t)
-    # + hs_hi * 2^64 = + hs_hi * EPSILON (hs_hi < 2^10)
     t2 = t + hs_hi * g.EPSILON
     over2 = t2 < t
     t2 = jnp.where(over2, t2 + g.EPSILON, t2)
     return g.canonicalize(t2)
 
 
-_IS_FULL = np.array(
-    [r < HALF_N_FULL_ROUNDS or r >= HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
-     for r in range(N_ROUNDS)]
-)
+_MDS_F32 = None
+
+
+def _mds_matrix_f32():
+    global _MDS_F32
+    if _MDS_F32 is None:
+        m = np.zeros((W, W), dtype=np.float32)
+        for r in range(W):
+            for j in range(W):
+                m[r, j] = MDS_MATRIX_CIRC[(j - r) % W]
+        m[0, 0] += MDS_MATRIX_DIAG[0]
+        _MDS_F32 = m
+    return _MDS_F32
+
+
+def _mds_dev_sm(state):
+    """MDS layer, state-major [12, N...], via 8-bit-limb f32 matmuls.
+
+    out[r] = Σ_j M[r,j]·v[j] with M entries ≤ 41: on 8-bit limb planes every
+    dot product is ≤ 41·255·12 < 2^24 — exact in f32 — so the whole circulant
+    mix rides the MXU as eight [12,12]@[12,N] matmuls instead of 12 unfused
+    roll+mul+add passes over HBM (measured 3.7ms -> ~1ms per round at
+    N=2^19 on v5e).
+    """
+    m = jnp.asarray(_mds_matrix_f32())
+    batch = state.shape[1:]
+    v = state.reshape(W, -1)
+    qs = []
+    for k in range(8):
+        plane = ((v >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(jnp.float32)
+        qs.append(jnp.matmul(m, plane).astype(jnp.uint64))  # each < 2^24
+    # value = Σ q_k·2^(8k); regroup into two sub-2^42 32-bit-limb accumulators
+    acc_lo = qs[0] + (qs[1] << np.uint64(8)) + (qs[2] << np.uint64(16)) \
+        + (qs[3] << np.uint64(24))
+    acc_hi = qs[4] + (qs[5] << np.uint64(8)) + (qs[6] << np.uint64(16)) \
+        + (qs[7] << np.uint64(24))
+    return _mds_reduce(acc_lo, acc_hi).reshape((W,) + batch)
+
+
+def permute_dev_sm(state):
+    """Batched Poseidon permutation, STATE-MAJOR: state [12, N...] uint64.
+
+    The [..., 12] form puts the 12-wide state on the minor (lane) axis and
+    wastes 116/128 lanes; here the batch owns the native tile. Full and
+    partial rounds run as separate scans so partial rounds S-box ONLY row 0
+    instead of computing all 12 and selecting."""
+    import jax
+
+    rc = jnp.asarray(_RC_DEV)  # [rounds, 12]
+    shape = (W,) + (1,) * (state.ndim - 1)
+
+    def full_body(s, rc_row):
+        s = g.add(s, rc_row.reshape(shape))
+        return _mds_dev_sm(_sbox_dev(s)), None
+
+    def partial_body(s, rc_row):
+        s = g.add(s, rc_row.reshape(shape))
+        s = jnp.concatenate([_sbox_dev(s[:1]), s[1:]], axis=0)
+        return _mds_dev_sm(s), None
+
+    h = HALF_N_FULL_ROUNDS
+    p = N_PARTIAL_ROUNDS
+    state, _ = jax.lax.scan(full_body, state, rc[:h])
+    state, _ = jax.lax.scan(partial_body, state, rc[h:h + p])
+    state, _ = jax.lax.scan(full_body, state, rc[h + p:])
+    return state
 
 
 def permute_dev(state):
-    """Batched Poseidon permutation; state [..., 12] uint64 canonical.
-
-    Rounds run under lax.scan with a single round body (XLA's u64->u32
-    legalization is superlinear in graph size; 30 unrolled rounds take
-    minutes to compile, one scanned body takes seconds). Partial rounds
-    compute the S-box on all lanes and select lane 0 — wasted VPU lanes,
-    but branch-free and uniform.
-    """
-    import jax
-
-    rc = jnp.asarray(_RC_DEV)
-    is_full = jnp.asarray(_IS_FULL)
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) == 0
-
-    def round_body(s, inp):
-        rc_row, full = inp
-        s = g.add(s, rc_row)
-        sb = _sbox_dev(s)
-        s = jnp.where(jnp.logical_or(full, lane0), sb, s)
-        return _mds_dev(s), None
-
-    out, _ = jax.lax.scan(round_body, state, (rc, is_full))
-    return out
+    """Row-major convenience wrapper: state [..., 12] -> [..., 12]."""
+    return jnp.moveaxis(permute_dev_sm(jnp.moveaxis(state, -1, 0)), 0, -1)
 
 
 # ---------------------------------------------------------------------------
