@@ -40,11 +40,16 @@ def bit_reverse_perm(lg_n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(lg_n: int) -> tuple[np.ndarray, ...]:
-    """Twiddle row per stage s=1..lg_n: [g_{2^s}^j for j < 2^(s-1)]."""
+def _stage_twiddles(lg_n: int, inverse: bool = False) -> tuple[np.ndarray, ...]:
+    """Twiddle row per stage s=1..lg_n: [g_{2^s}^j for j < 2^(s-1)].
+
+    inverse=True uses g_{2^s}^{-1} — the butterfly network then computes the
+    un-normalized inverse NTT (the 1/n factor is folded in elsewhere)."""
     rows = []
     for s in range(1, lg_n + 1):
         root = fs.primitive_root_of_unity(s)
+        if inverse:
+            root = fs.inverse(root)
         rows.append(g.np_powers(root, 1 << (s - 1)))
     return tuple(rows)
 
@@ -65,7 +70,8 @@ def _butterflies(v: jax.Array, lg_n: int, start_stage: int) -> jax.Array:
     return v
 
 
-def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0) -> jax.Array:
+def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0,
+                  inverse: bool = False) -> jax.Array:
     """DIT stages over AXIS 0 of [m, V...] (input bit-reversed along axis 0).
 
     The transform axis is never minor-most, so every butterfly is an
@@ -78,10 +84,11 @@ def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0) -> jax.Array:
 
     if _pn.should_use(lg_m, start_stage):
         return _pn.butterflies0_pallas(v, lg_m, start_stage,
-                                       interpret=_pn._INTERPRET)
+                                       interpret=_pn._INTERPRET,
+                                       inverse=inverse)
     m = v.shape[0]
     rest = v.shape[1:]
-    tw = _stage_twiddles(lg_m)
+    tw = _stage_twiddles(lg_m, inverse)
     wshape = (1, -1) + (1,) * len(rest)
     for s in range(start_stage + 1, lg_m + 1):
         half = 1 << (s - 1)
@@ -97,10 +104,14 @@ def _butterflies0(v: jax.Array, lg_m: int, start_stage: int = 0) -> jax.Array:
 _FOUR_STEP_MIN = 1 << 10
 
 
-def _fft_four_step(coeffs: jax.Array) -> jax.Array:
+def _fft_four_step(coeffs: jax.Array, inverse: bool = False) -> jax.Array:
     """Bailey four-step NTT over the last axis: two passes of axis-0
     transforms (each vectorized over the complementary axis), one twiddle
-    multiply, reshape-only data movement."""
+    multiply, reshape-only data movement.
+
+    inverse=True computes the full inverse NTT (root inverted in every
+    twiddle table, 1/n folded into the mid twiddle — which touches every
+    element exactly once), so no reversal/scale epilogue pass is needed."""
     n = coeffs.shape[-1]
     lg_n = n.bit_length() - 1
     lg_a = (lg_n + 1) // 2
@@ -113,27 +124,29 @@ def _fft_four_step(coeffs: jax.Array) -> jax.Array:
     # phase 1: NTT_a over i1, vectorized over (B, b)
     y = jnp.transpose(x, (1, 0, 2)).reshape(a, B * b)
     y = jnp.take(y, jnp.asarray(bit_reverse_perm(lg_a)), axis=0)
-    A = _butterflies0(y, lg_a).reshape(a, B, b)  # A[k1, B, i2]
-    # twiddle: w_n^{k1 * i2}
-    A = g.mul(A, jnp.asarray(_four_step_twiddles(lg_n, lg_a))[:, None, :])
+    A = _butterflies0(y, lg_a, inverse=inverse).reshape(a, B, b)  # A[k1, B, i2]
+    # twiddle: w_n^{±k1 * i2} (· 1/n when inverse)
+    A = g.mul(A, jnp.asarray(_four_step_twiddles(lg_n, lg_a, inverse))[:, None, :])
     # phase 2: NTT_b over i2, vectorized over (B, a)
     z = jnp.transpose(A, (2, 1, 0)).reshape(b, B * a)
     z = jnp.take(z, jnp.asarray(bit_reverse_perm(lg_b)), axis=0)
-    C = _butterflies0(z, lg_b).reshape(b, B, a)  # C[k2, B, k1]
+    C = _butterflies0(z, lg_b, inverse=inverse).reshape(b, B, a)  # C[k2, B, k1]
     # output index k = k1 + a*k2 -> [k2, k1] row-major
     return jnp.transpose(C, (1, 0, 2)).reshape(batch + (n,))
 
 
 @functools.lru_cache(maxsize=None)
-def _four_step_twiddles(lg_n: int, lg_a: int) -> np.ndarray:
-    """[a, b] table w_n^{k1*i2}."""
+def _four_step_twiddles(lg_n: int, lg_a: int, inverse: bool = False) -> np.ndarray:
+    """[a, b] table w_n^{k1*i2}; inverse: w_n^{-k1*i2} / n."""
     n = 1 << lg_n
     a = 1 << lg_a
     b = n >> lg_a
     w = fs.primitive_root_of_unity(lg_n)
+    if inverse:
+        w = fs.inverse(w)
     row = g.np_powers(w, b).astype(object)  # w^{i2}
     out = np.empty((a, b), dtype=np.uint64)
-    cur = np.ones(b, dtype=object)
+    cur = np.full(b, fs.inverse(n % fs.P) if inverse else 1, dtype=object)
     for k1 in range(a):
         out[k1] = (cur % fs.P).astype(np.uint64)
         cur = (cur * row) % fs.P
@@ -161,8 +174,22 @@ def ifft(values: jax.Array) -> jax.Array:
     """evaluations -> coefficients (inverse of fft).
 
     ifft(a)[i] = fft(a)[(n-i) mod n] / n (reference field/src/fft.rs:64-91).
+    Large sizes run the four-step network directly with inverted twiddles
+    and 1/n folded into the mid twiddle table — identical values, but no
+    reversal gather or scale pass over HBM.
     """
     n = values.shape[-1]
+    lg_n = n.bit_length() - 1
+    assert 1 << lg_n == n, "length must be a power of two"
+    if n >= _FOUR_STEP_MIN:
+        from plonky2_tpu.ops import pallas_ntt as _pn
+
+        batch = values.shape[:-1]
+        B = int(np.prod(batch)) if batch else 1
+        if _pn.enabled() and _pn.fourstep_supported(lg_n, B):
+            return _pn.fft_four_step_pallas(values, interpret=_pn._INTERPRET,
+                                            inverse=True)
+        return _fft_four_step(values, inverse=True)
     f = fft(values)
     rev = jnp.roll(jnp.flip(f, axis=-1), 1, axis=-1)  # rev[i] = f[(n-i) % n]
     n_inv = fs.inverse(n % fs.P)

@@ -140,6 +140,20 @@ def reduce128(w0, w1, w2, w3):
     return canonicalize(t2lo2, t2hi2)
 
 
+def gl_mul_g4(lo, hi):
+    """x * 2^48 mod p on limb planes (canonical in/out).
+
+    2^48 is the canonical primitive 4th root of unity (2^96 ≡ -1 mod p), so
+    this is the cheap "multiply by i" of radix-4 butterflies: pure shifts
+    into 128-bit limbs + reduce128 — no 32x32 multiplies. Its inverse is
+    -2^48, i.e. i^{-1}·x = 2^48·(-x), which callers get for free by swapping
+    a surrounding subtraction's operands."""
+    w1 = lo << _16
+    w2 = (lo >> _16) | (hi << _16)
+    w3 = hi >> _16
+    return reduce128(ZERO, w1, w2, w3)
+
+
 def split_planes(x):
     """u64 array -> (lo, hi) u32 planes."""
     mask = np.uint64(0xFFFFFFFF)

@@ -29,6 +29,7 @@ from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.ops.goldilocks_limbs import (
     gl_add,
     gl_mul,
+    gl_mul_g4,
     gl_sub,
     join_planes,
     split_planes,
@@ -70,11 +71,15 @@ def should_use(lg_m: int, start_stage: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_planes(lg_m: int) -> tuple[np.ndarray, np.ndarray]:
-    """[m-1, 128] (lo, hi) planes: stage-s rows g_{2^s}^j, j < 2^(s-1)."""
+def _twiddle_planes(lg_m: int, inverse: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """[m-1, 128] (lo, hi) planes: stage-s rows g_{2^s}^{±j}, j < 2^(s-1)."""
     from plonky2_tpu.field import goldilocks as g
 
-    rows = [g.np_powers(fs.primitive_root_of_unity(s), 1 << (s - 1))
+    def root(s):
+        r = fs.primitive_root_of_unity(s)
+        return fs.inverse(r) if inverse else r
+
+    rows = [g.np_powers(root(s), 1 << (s - 1))
             for s in range(1, lg_m + 1)]
     t = np.concatenate(rows)
     lo = np.repeat((t & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None], _LANE, 1)
@@ -82,7 +87,58 @@ def _twiddle_planes(lg_m: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool):
+def _stage_plan(lg_m: int) -> tuple[list[int], int | None]:
+    """Radix-4 pairing of DIT stages 1..lg_m: merged pairs (s, s+1) listed by
+    their low stage (ascending), plus a lone radix-2 stage when lg_m is odd."""
+    pairs = list(range(1, lg_m, 2)) if lg_m % 2 == 0 else list(range(1, lg_m - 1, 2))
+    lone = None if lg_m % 2 == 0 else lg_m
+    return pairs, lone
+
+
+@functools.lru_cache(maxsize=None)
+def _cube_offsets(lg_m: int) -> dict[int, int]:
+    """Row offset of each merged pair's w'^3 rows in the cube twiddle table."""
+    offs, cur = {}, 0
+    for s in _stage_plan(lg_m)[0]:
+        offs[s] = cur
+        cur += 1 << (s - 1)
+    return offs
+
+
+def _cube_rows(lg_m: int) -> int:
+    return sum(1 << (s - 1) for s in _stage_plan(lg_m)[0])
+
+
+def _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif):
+    m = 1 << lg_m
+    half = 1 << (st - 1)
+    nb = m >> st
+    off = half - 1  # stage-st twiddle rows live at [2^(st-1)-1, 2^st-1)
+    wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
+    wh = whi[off:off + half][None, :, None, :]
+    vvlo = vlo.reshape(nb, 2, half, s, _LANE)
+    vvhi = vhi.reshape(nb, 2, half, s, _LANE)
+    elo, ehi = vvlo[:, 0], vvhi[:, 0]
+    dlo, dhi = vvlo[:, 1], vvhi[:, 1]
+    if st == 1:
+        # the half=1 stage's only twiddle is w_2^0 = 1 — pure add/sub
+        plo, phi = gl_add(elo, ehi, dlo, dhi)
+        mlo, mhi = gl_sub(elo, ehi, dlo, dhi)
+    elif dif:
+        plo, phi = gl_add(elo, ehi, dlo, dhi)
+        slo, shi = gl_sub(elo, ehi, dlo, dhi)
+        mlo, mhi = gl_mul(slo, shi, wl, wh)
+    else:
+        tlo, thi = gl_mul(dlo, dhi, wl, wh)
+        plo, phi = gl_add(elo, ehi, tlo, thi)
+        mlo, mhi = gl_sub(elo, ehi, tlo, thi)
+    vlo = jnp.concatenate([plo[:, None], mlo[:, None]], 1).reshape(m, s, _LANE)
+    vhi = jnp.concatenate([phi[:, None], mhi[:, None]], 1).reshape(m, s, _LANE)
+    return vlo, vhi
+
+
+def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
+            clo=None, chi=None, inverse: bool = False):
     """Unrolled butterfly network on a VMEM-resident [m, s, 128] plane pair.
 
     dif=False: DIT, stages ascending, bit-reversed input -> natural output,
@@ -91,44 +147,110 @@ def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool):
                bit-reversal is an involution, so F = P·B_1ᵀ…B_lgᵀ): stages
                descending, SAME per-stage twiddles, butterfly
                (x0 + x1, w·(x0 − x1)); natural input -> bit-reversed output.
+
+    With cube planes (clo/chi: rows w'^3 per merged pair, `_cube_offsets`
+    layout) consecutive stage pairs fuse into radix-4 blocks: 3 full
+    twiddle muls + one shift-based ·g_4 per 4 elements instead of 4 full
+    muls (w'^2 rows are the low stage's own rows, w' rows the first half of
+    the high stage's — only the cubes need a new table). `inverse` flips the
+    sign of g_4 (i^{-1} = -2^48) by swapping one subtraction's operands; the
+    w-tables themselves are already inverse-root tables in that case.
     """
+    if clo is None:
+        order = range(lg_m, 0, -1) if dif else range(1, lg_m + 1)
+        for st in order:
+            vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif)
+        return vlo, vhi
+
     m = 1 << lg_m
-    order = range(lg_m, 0, -1) if dif else range(1, lg_m + 1)
-    for st in order:
-        half = 1 << (st - 1)
-        nb = m >> st
-        off = half - 1  # stage-st twiddle rows live at [2^(st-1)-1, 2^st-1)
-        wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
-        wh = whi[off:off + half][None, :, None, :]
-        vvlo = vlo.reshape(nb, 2, half, s, _LANE)
-        vvhi = vhi.reshape(nb, 2, half, s, _LANE)
-        elo, ehi = vvlo[:, 0], vvhi[:, 0]
-        dlo, dhi = vvlo[:, 1], vvhi[:, 1]
-        if st == 1:
-            # the half=1 stage's only twiddle is w_2^0 = 1 — pure add/sub
-            plo, phi = gl_add(elo, ehi, dlo, dhi)
-            mlo, mhi = gl_sub(elo, ehi, dlo, dhi)
-        elif dif:
-            plo, phi = gl_add(elo, ehi, dlo, dhi)
-            slo, shi = gl_sub(elo, ehi, dlo, dhi)
-            mlo, mhi = gl_mul(slo, shi, wl, wh)
+    pairs, lone = _stage_plan(lg_m)
+    offs = _cube_offsets(lg_m)
+
+    if dif and lone is not None:
+        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif)
+
+    for sl in (reversed(pairs) if dif else pairs):
+        h = 1 << (sl - 1)
+        nb = m >> (sl + 1)
+        wo = (1 << sl) - 1  # stage sl+1 rows: w'^j, first h of 2^sl entries
+        w1l = wlo[wo:wo + h][None, :, None, :]
+        w1h = whi[wo:wo + h][None, :, None, :]
+        w2o = h - 1  # stage sl rows: w'^2j
+        w2l = wlo[w2o:w2o + h][None, :, None, :]
+        w2h = whi[w2o:w2o + h][None, :, None, :]
+        co = offs[sl]
+        w3l = clo[co:co + h][None, :, None, :]
+        w3h = chi[co:co + h][None, :, None, :]
+        vvlo = vlo.reshape(nb, 4, h, s, _LANE)
+        vvhi = vhi.reshape(nb, 4, h, s, _LANE)
+        x = [(vvlo[:, q], vvhi[:, q]) for q in range(4)]
+        if not dif:
+            # DIT block: t1 = w'^2·x1; A = w'·x2; B = w'^3·x3
+            if sl == 1:
+                t1, A, B = x[1], x[2], x[3]
+            else:
+                t1 = gl_mul(*x[1], w2l, w2h)
+                A = gl_mul(*x[2], w1l, w1h)
+                B = gl_mul(*x[3], w3l, w3h)
+            y0 = gl_add(*x[0], *t1)
+            y1 = gl_sub(*x[0], *t1)
+            u2 = gl_add(*A, *B)
+            ab = gl_sub(*B, *A) if inverse else gl_sub(*A, *B)
+            u3 = gl_mul_g4(*ab)
+            z = [gl_add(*y0, *u2), gl_add(*y1, *u3),
+                 gl_sub(*y0, *u2), gl_sub(*y1, *u3)]
         else:
-            tlo, thi = gl_mul(dlo, dhi, wl, wh)
-            plo, phi = gl_add(elo, ehi, tlo, thi)
-            mlo, mhi = gl_sub(elo, ehi, tlo, thi)
-        vlo = jnp.concatenate([plo[:, None], mlo[:, None]], 1).reshape(m, s, _LANE)
-        vhi = jnp.concatenate([phi[:, None], mhi[:, None]], 1).reshape(m, s, _LANE)
+            # transposed block: 4-point DFT then twiddles w'^2, w', w'^3
+            c0 = gl_add(*x[0], *x[2])
+            c1 = gl_add(*x[1], *x[3])
+            d0 = gl_sub(*x[0], *x[2])
+            d1 = gl_sub(*x[1], *x[3])
+            e = gl_mul_g4(*d1)
+            p2 = gl_sub(*d0, *e) if inverse else gl_add(*d0, *e)
+            p3 = gl_add(*d0, *e) if inverse else gl_sub(*d0, *e)
+            z0 = gl_add(*c0, *c1)
+            z1 = gl_sub(*c0, *c1)
+            if sl != 1:
+                z1 = gl_mul(*z1, w2l, w2h)
+                p2 = gl_mul(*p2, w1l, w1h)
+                p3 = gl_mul(*p3, w3l, w3h)
+            z = [z0, z1, p2, p3]
+        vlo = jnp.concatenate([zl[:, None] for zl, _ in z], 1).reshape(m, s, _LANE)
+        vhi = jnp.concatenate([zh[:, None] for _, zh in z], 1).reshape(m, s, _LANE)
+
+    if not dif and lone is not None:
+        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif)
     return vlo, vhi
 
 
-def _make_kernel(lg_m: int, s: int):
+@functools.lru_cache(maxsize=None)
+def _cube_planes(lg_m: int, inverse: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """[cube_rows, 128] (lo, hi) planes: per merged pair (s, s+1) the rows
+    (g_{2^{s+1}}^{±1})^{3j}, j < 2^(s-1), at `_cube_offsets` offsets."""
+    from plonky2_tpu.field import goldilocks as g
+
+    rows = []
+    for sl in _stage_plan(lg_m)[0]:
+        r = fs.primitive_root_of_unity(sl + 1)
+        if inverse:
+            r = fs.inverse(r)
+        rows.append(g.np_powers(fs.exp(r, 3), 1 << (sl - 1)))
+    t = np.concatenate(rows)
+    lo = np.repeat((t & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None], _LANE, 1)
+    hi = np.repeat((t >> np.uint64(32)).astype(np.uint32)[:, None], _LANE, 1)
+    return lo, hi
+
+
+def _make_kernel(lg_m: int, s: int, inverse: bool = False):
     m = 1 << lg_m
 
-    def kernel(wlo_ref, whi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
+    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, vlo_ref, vhi_ref,
+               olo_ref, ohi_ref):
         vlo, vhi = _stages(
             lg_m, s,
             vlo_ref[...].reshape(m, s, _LANE), vhi_ref[...].reshape(m, s, _LANE),
             wlo_ref[...], whi_ref[...], dif=False,
+            clo=clo_ref[...], chi=chi_ref[...], inverse=inverse,
         )
         olo_ref[...] = vlo.reshape(m, 1, s, _LANE)
         ohi_ref[...] = vhi.reshape(m, 1, s, _LANE)
@@ -136,14 +258,15 @@ def _make_kernel(lg_m: int, s: int):
     return kernel
 
 
-def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False):
+def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False,
+                     inverse: bool = False):
     """Phase-1 four-step kernel: optional coset-scale prologue (interleaved
     LDE), DIF stages, fused four-step twiddle epilogue — operating directly
     on the natural [B, a, b] layout (no pre-transpose, no bit-reverse
     gather)."""
     m = 1 << lg_m
 
-    def kernel(wlo_ref, whi_ref, twlo_ref, twhi_ref, *rest):
+    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, twlo_ref, twhi_ref, *rest):
         if with_scale:
             sclo_ref, schi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref = rest
         else:
@@ -154,7 +277,9 @@ def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False):
             vlo, vhi = gl_mul(vlo, vhi,
                               sclo_ref[...].reshape(m, s, _LANE),
                               schi_ref[...].reshape(m, s, _LANE))
-        vlo, vhi = _stages(lg_m, s, vlo, vhi, wlo_ref[...], whi_ref[...], dif=True)
+        vlo, vhi = _stages(lg_m, s, vlo, vhi, wlo_ref[...], whi_ref[...],
+                           dif=True, clo=clo_ref[...], chi=chi_ref[...],
+                           inverse=inverse)
         twlo = twlo_ref[...].reshape(m, s, _LANE)
         twhi = twhi_ref[...].reshape(m, s, _LANE)
         vlo, vhi = gl_mul(vlo, vhi, twlo, twhi)
@@ -189,28 +314,33 @@ def _i32(x):
 _Z = np.int32(0)
 
 
-def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool):
+def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
+                inverse: bool = False):
     """DIT butterfly network on [m, nV, s, 128] planes -> same shape."""
     import jax.experimental.pallas as pl
 
     m = 1 << lg_m
     nV = lo.shape[1]
-    wlo, whi = _twiddle_planes(lg_m)
+    wlo, whi = _twiddle_planes(lg_m, inverse)
+    clo, chi = _cube_planes(lg_m, inverse)
     vspec = pl.BlockSpec((m, 1, s, _LANE), lambda i: (_Z, _i32(i), _Z, _Z))
     wspec = pl.BlockSpec((m - 1, _LANE), lambda i: (_Z, _Z))
+    cspec = pl.BlockSpec((clo.shape[0], _LANE), lambda i: (_Z, _Z))
     return pl.pallas_call(
-        _make_kernel(lg_m, s),
+        _make_kernel(lg_m, s, inverse),
         grid=(nV,),
-        in_specs=[wspec, wspec, vspec, vspec],
+        in_specs=[wspec, wspec, cspec, cspec, vspec, vspec],
         out_specs=[vspec, vspec],
         out_shape=[jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2,
         interpret=interpret,
         **_compile_kwargs(interpret),
-    )(jnp.asarray(wlo), jnp.asarray(whi), lo, hi)
+    )(jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(clo), jnp.asarray(chi),
+      lo, hi)
 
 
 def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
-                        interpret: bool = False, sublanes: int | None = None) -> jax.Array:
+                        interpret: bool = False, sublanes: int | None = None,
+                        inverse: bool = False) -> jax.Array:
     """Drop-in for ntt._butterflies0 (start_stage=0): DIT stages over axis 0
     of [m, V...] u64 (input bit-reversed along axis 0)."""
     assert start_stage == 0
@@ -228,7 +358,7 @@ def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
         x = jnp.pad(x, ((0, 0), (0, pad)))
     lo, hi = split_planes(x)
     olo, ohi = _dit_planes(lo.reshape(m, nV, s, _LANE), hi.reshape(m, nV, s, _LANE),
-                           lg_m, s, interpret)
+                           lg_m, s, interpret, inverse)
     out = join_planes(olo, ohi).reshape(m, nV * blk)
     if pad:
         out = out[:, :V]
@@ -236,12 +366,13 @@ def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
 
 
 @functools.lru_cache(maxsize=None)
-def _four_step_twiddle_planes(lg_n: int, lg_a: int) -> tuple[np.ndarray, np.ndarray]:
+def _four_step_twiddle_planes(lg_n: int, lg_a: int, inverse: bool = False,
+                              ) -> tuple[np.ndarray, np.ndarray]:
     """[a, b] four-step table W[k1, i2] with rows pre-permuted to the DIF
-    output order (row r holds W[brev(r), ·])."""
+    output order (row r holds W[brev(r), ·]); inverse folds in 1/n."""
     from plonky2_tpu.field.ntt import _four_step_twiddles, bit_reverse_perm
 
-    t = _four_step_twiddles(lg_n, lg_a)[bit_reverse_perm(lg_a)]
+    t = _four_step_twiddles(lg_n, lg_a, inverse)[bit_reverse_perm(lg_a)]
     return ((t & np.uint64(0xFFFFFFFF)).astype(np.uint32),
             (t >> np.uint64(32)).astype(np.uint32))
 
@@ -259,13 +390,16 @@ def fourstep_supported(lg_n: int, B: int) -> bool:
 
 def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
                          interleave: int | None = None,
-                         scale: jax.Array | None = None) -> jax.Array:
+                         scale: jax.Array | None = None,
+                         inverse: bool = False) -> jax.Array:
     """Bailey four-step NTT over the last axis, Pallas end-to-end: DIF phase
     directly on the natural [B, a, b] layout with the four-step twiddle fused
     as a kernel epilogue, ONE gather+transpose between phases, DIT phase, and
     u32 planes maintained throughout (one split, one join).
 
-    Matches `field.ntt._fft_four_step` bit-for-bit.
+    Matches `field.ntt._fft_four_step` bit-for-bit. inverse=True runs the
+    full inverse NTT in-network (inverted twiddles, 1/n folded into the mid
+    twiddle table) — no reversal or scale pass.
     """
     import jax.experimental.pallas as pl
 
@@ -285,6 +419,8 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
         assert interleave is None or batch[-1] == interleave
     else:
         assert interleave == R, "scale fan-out implies interleaved output"
+    assert not (inverse and (scale is not None or interleave)), \
+        "inverse NTT has no coset/interleave form"
 
     s1 = _sublanes_for(lg_a)
     blk1 = s1 * _LANE
@@ -292,8 +428,9 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
     lo, hi = split_planes(coeffs.reshape(B0, a, b))
     lo = lo.reshape(B0, a, nbc, s1, _LANE)
     hi = hi.reshape(B0, a, nbc, s1, _LANE)
-    wlo, whi = _twiddle_planes(lg_a)
-    twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a)
+    wlo, whi = _twiddle_planes(lg_a, inverse)
+    clo, chi = _cube_planes(lg_a, inverse)
+    twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a, inverse)
 
     if scale is None:
         in_map = lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z)
@@ -304,12 +441,14 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
     ospec = pl.BlockSpec((1, a, 1, s1, _LANE),
                          lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z))
     wspec = pl.BlockSpec((a - 1, _LANE), lambda iB, ic: (_Z, _Z))
+    cspec = pl.BlockSpec((clo.shape[0], _LANE), lambda iB, ic: (_Z, _Z))
     twspec = pl.BlockSpec((a, 1, s1, _LANE),
                           lambda iB, ic: (_Z, _i32(ic), _Z, _Z))
     operands = [jnp.asarray(wlo), jnp.asarray(whi),
+                jnp.asarray(clo), jnp.asarray(chi),
                 jnp.asarray(twlo).reshape(a, nbc, s1, _LANE),
                 jnp.asarray(twhi).reshape(a, nbc, s1, _LANE)]
-    in_specs = [wspec, wspec, twspec, twspec]
+    in_specs = [wspec, wspec, cspec, cspec, twspec, twspec]
     if scale is not None:
         rr = np.int32(R)
         scspec = pl.BlockSpec(
@@ -321,7 +460,8 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
                      schi.reshape(R, a, nbc, s1, _LANE)]
         in_specs += [scspec, scspec]
     lo, hi = pl.pallas_call(
-        _make_dif_kernel(lg_a, s1, with_scale=scale is not None),
+        _make_dif_kernel(lg_a, s1, with_scale=scale is not None,
+                         inverse=inverse),
         grid=(B, nbc),
         in_specs=in_specs + [inspec, inspec],
         out_specs=[ospec, ospec],
@@ -341,7 +481,7 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
         x = jnp.transpose(x.reshape(B, a, b)[:, brev_a], (2, 0, 1))
         return x[brev_b].reshape(b, nV2, s2, _LANE)
 
-    lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret)
+    lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret, inverse)
 
     out = join_planes(lo, hi)
     if interleave:

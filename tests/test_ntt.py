@@ -80,3 +80,21 @@ def test_lde_zero_tail_matches_padded(rate_bits):
     refc = [int(v) for v in np.asarray(ntt.coset_fft(g.to_field(padded)))]
     assert fastc == refc
     assert fastc == naive_dft(padded, shift=s.MULTIPLICATIVE_GROUP_GENERATOR)
+
+
+def test_ifft_four_step_matches_definition():
+    """Large-size ifft runs the inverse four-step network (inverted twiddles,
+    1/n in the mid table) — must equal the reverse-and-scale definition."""
+    import numpy as _np
+    import jax.numpy as jnp
+
+    rng = _np.random.default_rng(7)
+    n = 1 << 10  # >= _FOUR_STEP_MIN -> four-step path
+    a = jnp.asarray(rng.integers(0, s.P, size=(3, n), dtype=_np.uint64))
+    got = _np.asarray(ntt.ifft(a))
+    f = _np.asarray(ntt.fft(a))
+    rev = _np.roll(f[:, ::-1], 1, axis=1)
+    n_inv = s.inverse(n % s.P)
+    want = _np.asarray(g.mul(jnp.asarray(rev), jnp.asarray(_np.uint64(n_inv))))
+    assert (got == want).all()
+    assert (_np.asarray(ntt.fft(jnp.asarray(got))) == _np.asarray(a)).all()
