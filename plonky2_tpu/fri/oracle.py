@@ -22,10 +22,17 @@ from plonky2_tpu.field import goldilocks as g
 from plonky2_tpu.field import ntt
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.fri.prover import fri_proof
-from plonky2_tpu.hash.merkle import make_merkle_tree
+from plonky2_tpu.hash.merkle import NaturalMerkleTree, make_merkle_tree
 from plonky2_tpu.util import reverse_bits
 
 SALT_SIZE = 4
+
+
+def _algebraic(hasher) -> bool:
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
+    return hasher is None or hasher is PoseidonHasher or getattr(
+        hasher, "algebraic", False)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -49,6 +56,17 @@ def _coeffs_to_lde_leaves_impl(coeffs, rate_bits):
     return lde, jnp.take(leaves, jnp.asarray(ntt.bit_reverse_perm(lg)), axis=0)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _values_to_lde(values, rate_bits):
+    coeffs = ntt.ifft(values)
+    return coeffs, ntt.coset_lde(coeffs, rate_bits)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _coeffs_to_lde(coeffs, rate_bits):
+    return ntt.coset_lde(coeffs, rate_bits)
+
+
 class PolynomialBatch:
     """A batch of committed polynomials sharing one Merkle-cap tree."""
 
@@ -66,6 +84,10 @@ class PolynomialBatch:
                     hasher=None) -> "PolynomialBatch":
         values = jnp.asarray(np.asarray(values, dtype=np.uint64))
         n = values.shape[-1]
+        if _algebraic(hasher):
+            coeffs, lde = _values_to_lde(values, rate_bits)
+            return PolynomialBatch._finish_natural(coeffs, lde, n, rate_bits,
+                                                   blinding, cap_height)
         coeffs, lde, leaves = _values_to_lde_leaves(values, rate_bits, SALT_SIZE if blinding else 0)
         return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
                                        cap_height, hasher)
@@ -75,9 +97,29 @@ class PolynomialBatch:
                     hasher=None) -> "PolynomialBatch":
         coeffs = jnp.asarray(np.asarray(coeffs, dtype=np.uint64))
         n = coeffs.shape[-1]
+        if _algebraic(hasher):
+            lde = _coeffs_to_lde(coeffs, rate_bits)
+            return PolynomialBatch._finish_natural(coeffs, lde, n, rate_bits,
+                                                   blinding, cap_height)
         lde, leaves = _coeffs_to_lde_leaves(coeffs, rate_bits)
         return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
                                        cap_height, hasher)
+
+    @staticmethod
+    def _finish_natural(coeffs, lde, n, rate_bits, blinding, cap_height):
+        """Commit straight off the LDE's natural [num_polys, N] layout —
+        no transpose and no bit-reverse gather on device; NaturalMerkleTree
+        presents reference-order cap/leaf/prove (reference fri/oracle.rs:82-112
+        instead transposes + reverse_index_bits the whole LDE)."""
+        cols = lde
+        if blinding:
+            # Salt rows are fresh randomness, not transcript-bound; host RNG.
+            salt = np.random.randint(0, fs.P, size=(SALT_SIZE, lde.shape[1]),
+                                     dtype=np.uint64)
+            cols = jnp.concatenate([cols, jnp.asarray(salt)], axis=0)
+        tree = NaturalMerkleTree(cols, cap_height)
+        return PolynomialBatch(coeffs, lde, tree, n.bit_length() - 1, rate_bits,
+                               blinding)
 
     @staticmethod
     def _finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height, hasher=None):

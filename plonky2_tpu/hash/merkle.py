@@ -16,6 +16,7 @@ Digest = 4 felts (HashOut). Leaves of width <= 4 pass through unhashed
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 from plonky2_tpu.field import goldilocks as g
 from plonky2_tpu.hash import poseidon as ps
 from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE, SPONGE_WIDTH
+from plonky2_tpu.util import reverse_bits
 
 
 def hash_leaves_dev(leaves: jax.Array) -> jax.Array:
@@ -31,12 +33,19 @@ def hash_leaves_dev(leaves: jax.Array) -> jax.Array:
 
     Runs the sponge STATE-MAJOR ([12, n]) so the leaf batch owns the native
     vector tile — the [n, 12] layout kept the 12-wide state on the lane axis
-    and used 12/128 lanes."""
+    and used 12/128 lanes. On real TPU the whole sponge (all absorb chunks
+    x 30 rounds) runs as one fused Pallas kernel
+    (plonky2_tpu.ops.pallas_poseidon)."""
+    from plonky2_tpu.ops import pallas_poseidon as _pp
+
     n, width = leaves.shape
     if width <= 4:
         pad = jnp.zeros((n, 4 - width), dtype=jnp.uint64)
         return jnp.concatenate([leaves, pad], axis=1) if width < 4 else leaves
     cols = jnp.swapaxes(leaves, 0, 1)  # [width, n]
+    if _pp.should_use(n, width):
+        return jnp.swapaxes(
+            _pp.sponge_pallas(cols, interpret=_pp._INTERPRET), 0, 1)
     state = jnp.zeros((SPONGE_WIDTH, n), dtype=jnp.uint64)
     for i in range(0, width, SPONGE_RATE):
         chunk = cols[i : i + SPONGE_RATE]
@@ -48,12 +57,70 @@ def hash_leaves_dev(leaves: jax.Array) -> jax.Array:
 
 def compress_layer_dev(digests: jax.Array) -> jax.Array:
     """[2m, 4] digests -> [m, 4] parent digests (two_to_one compression)."""
+    from plonky2_tpu.ops import pallas_poseidon as _pp
+
     m2 = digests.shape[0]
     pairs = jnp.swapaxes(digests.reshape(m2 // 2, 8), 0, 1)  # [8, m]
+    if _pp.should_use(m2 // 2, 8):
+        return jnp.swapaxes(
+            _pp.sponge_pallas(pairs, interpret=_pp._INTERPRET), 0, 1)
     state = jnp.concatenate(
         [pairs, jnp.zeros((SPONGE_WIDTH - 8, m2 // 2), dtype=jnp.uint64)], axis=0
     )
     return jnp.swapaxes(ps.permute_dev_sm(state)[:4], 0, 1)
+
+
+def hash_leaf_cols_dev(cols: jax.Array) -> jax.Array:
+    """Batched hash_or_noop over NATURAL-ORDER columns [width, n] -> [4, n].
+
+    The state-major dual of `hash_leaves_dev` with no transpose: this is the
+    LDE's native [num_polys, N] layout, so the commit pipeline feeds the
+    sponge directly."""
+    from plonky2_tpu.ops import pallas_poseidon as _pp
+
+    width, n = cols.shape
+    if width <= 4:
+        pad = jnp.zeros((4 - width, n), dtype=jnp.uint64)
+        return jnp.concatenate([cols, pad], axis=0) if width < 4 else cols
+    if _pp.should_use(n, width):
+        return _pp.sponge_pallas(cols, interpret=_pp._INTERPRET)
+    state = jnp.zeros((SPONGE_WIDTH, n), dtype=jnp.uint64)
+    for i in range(0, width, SPONGE_RATE):
+        chunk = cols[i : i + SPONGE_RATE]
+        c = chunk.shape[0]
+        state = jnp.concatenate([chunk, state[c:]], axis=0)
+        state = ps.permute_dev_sm(state)
+    return state[:4]
+
+
+def compress_halves_dev(digests: jax.Array) -> jax.Array:
+    """[4, 2m] natural-order digests -> [4, m] parents, pairing (j, j+m).
+
+    In the natural-order layout the reference's bit-rev-adjacent pair
+    (2i, 2i+1) is exactly (first half, second half): rev_n(2i)=rev_{n-1}(i),
+    rev_n(2i+1)=rev_{n-1}(i)+2^{n-1} — so every level is two contiguous
+    slices, no gather (reference hash/merkle_tree.rs:50-57 keeps the
+    interleaved rev-order layout instead)."""
+    from plonky2_tpu.ops import pallas_poseidon as _pp
+
+    m = digests.shape[1] // 2
+    pairs = jnp.concatenate([digests[:, :m], digests[:, m:]], axis=0)  # [8, m]
+    if _pp.should_use(m, 8):
+        return _pp.sponge_pallas(pairs, interpret=_pp._INTERPRET)
+    state = jnp.concatenate(
+        [pairs, jnp.zeros((SPONGE_WIDTH - 8, m), dtype=jnp.uint64)], axis=0
+    )
+    return ps.permute_dev_sm(state)[:4]
+
+
+@partial(jax.jit, static_argnums=1)
+def _build_natural_jit(cols, cap_height):
+    n = cols.shape[1]
+    lg_n = n.bit_length() - 1
+    layers = [hash_leaf_cols_dev(cols)]
+    for _ in range(lg_n - cap_height):
+        layers.append(compress_halves_dev(layers[-1]))
+    return layers
 
 
 def merkle_layers_dev(leaves: jax.Array, cap_height: int) -> list[jax.Array]:
@@ -106,12 +173,59 @@ class MerkleTree:
         return [int(v) for v in np.asarray(self.leaves[leaf_index])]
 
 
-from functools import partial
-
-
 @partial(jax.jit, static_argnums=1)
 def _build_jit(leaves, cap_height):
     return merkle_layers_dev(leaves, cap_height)
+
+
+class NaturalMerkleTree:
+    """Merkle-cap tree over NATURAL-ORDER columns — same commitment as
+    `MerkleTree` over the bit-reversed row-major leaves, but built with zero
+    device-side data movement: leaves are the LDE's native [width, N] layout
+    and every level pairs contiguous halves (`compress_halves_dev`).
+
+    Level-k invariant: ref_digest_k[i] == layers[k][:, rev_{lgn-k}(i)], so
+    `cap`/`prove`/`leaf` remap indices host-side (a few integer bit
+    reversals per query) and present the reference's exact interface.
+    """
+
+    def __init__(self, cols, cap_height: int = 0):
+        cols = jnp.asarray(cols)
+        self.cap_height = cap_height
+        n = int(cols.shape[1])
+        self._lg_n = n.bit_length() - 1
+        assert 1 << self._lg_n == n, "leaf count must be a power of two"
+        assert cap_height <= self._lg_n
+        layers = _build_natural_jit(cols, cap_height)
+        self._cols = None  # fetched lazily; [width, n] natural order
+        self._cols_dev = cols
+        self._layers = [np.asarray(l) for l in layers]  # each [4, m]
+        cap_nat = self._layers[-1]
+        self.cap = [
+            [int(v) for v in cap_nat[:, reverse_bits(c, cap_height)]]
+            for c in range(1 << cap_height)
+        ]
+
+    @property
+    def num_leaves(self) -> int:
+        return 1 << self._lg_n
+
+    def _host_cols(self):
+        if self._cols is None:
+            self._cols = np.asarray(self._cols_dev)
+        return self._cols
+
+    def leaf(self, leaf_index: int) -> list[int]:
+        j = reverse_bits(leaf_index, self._lg_n)
+        return [int(v) for v in self._host_cols()[:, j]]
+
+    def prove(self, leaf_index: int) -> MerkleProof:
+        siblings = []
+        for k in range(self._lg_n - self.cap_height):
+            sib_ref = (leaf_index >> k) ^ 1
+            j = reverse_bits(sib_ref, self._lg_n - k)
+            siblings.append([int(v) for v in self._layers[k][:, j]])
+        return MerkleProof(siblings)
 
 
 # ---------------------------------------------------------------------------

@@ -7,10 +7,14 @@ bench.py and the driver's compile checks.
 
 import os
 
-# Must be set before the CPU client initializes.
+# Must be set before the CPU client initializes. (jax may already be
+# imported by the interpreter's startup hooks; XLA:CPU compile times on this
+# 4-core VM vary wildly run-to-run regardless — big-compile tests are
+# env-gated, see test_pallas_ops.py.)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 

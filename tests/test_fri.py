@@ -148,3 +148,27 @@ def test_fri_rejects_tampering():
     bad_proof.final_poly[0] = (s.add(c0[0], 1), c0[1])
     with pytest.raises(ValueError):
         replay(openings, bad_proof)
+
+
+def test_natural_merkle_tree_matches_reference_order():
+    """NaturalMerkleTree (no-transpose, halves-pairing commit layout) must
+    present the exact reference-order cap/leaf/prove interface."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plonky2_tpu.field import scalar as fs
+    from plonky2_tpu.hash.merkle import (
+        MerkleTree, NaturalMerkleTree, verify_merkle_proof_to_cap)
+    from plonky2_tpu.util import reverse_bits
+
+    rng = np.random.default_rng(3)
+    width, lg_n, cap_h = 7, 6, 2
+    n = 1 << lg_n
+    cols = rng.integers(0, fs.P, size=(width, n), dtype=np.uint64)
+    ref_leaves = cols[:, [reverse_bits(i, lg_n) for i in range(n)]].T
+    ref = MerkleTree(ref_leaves, cap_h)
+    nat = NaturalMerkleTree(jnp.asarray(cols), cap_h)
+    assert nat.cap == ref.cap
+    for i in (0, 1, 13, n - 1):
+        assert nat.leaf(i) == ref.leaf(i)
+        assert nat.prove(i).siblings == ref.prove(i).siblings
+        verify_merkle_proof_to_cap(nat.leaf(i), i, nat.cap, nat.prove(i))

@@ -4,6 +4,8 @@ The kernel must be bit-identical to the XLA butterfly path — its output feeds
 Merkle commitments.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -100,3 +102,67 @@ def test_lde_interleave_pallas(monkeypatch):
     monkeypatch.setattr(pallas_ntt, "_INTERPRET", True)
     got = np.asarray(ntt.coset_lde(coeffs, 1))
     np.testing.assert_array_equal(got, want)
+
+
+def test_poseidon_permute_body_matches_scalar():
+    """The pallas sponge kernel's round body (all 30 rounds: RC, sbox, MDS
+    on u32 limb planes), run EAGERLY as plain jnp on tiny [12, 1, 8] planes
+    — the kernel body is pure array code; SMEM refs index like ndarrays.
+    ~3 min: XLA:CPU's compile of the unrolled MDS while_loop bodies is
+    superlinear, so this is the single big-compile test we afford in CI.
+    Full pallas plumbing (BlockSpecs/grid/pl.ds) is validated on the real
+    TPU (/verify) and by the env-gated interpret smoke test below."""
+    from plonky2_tpu.hash import poseidon as ps
+    from plonky2_tpu.ops import pallas_poseidon as pp
+
+    rng = np.random.default_rng(2)
+    states = _rand_canonical(rng, (12, 8))
+    lo = jnp.asarray((states & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(12, 1, 8)
+    hi = jnp.asarray((states >> np.uint64(32)).astype(np.uint32)).reshape(12, 1, 8)
+    olo, ohi = pp._permute_body(jnp.asarray(pp._RC_LO), jnp.asarray(pp._RC_HI), lo, hi)
+    got = (np.asarray(olo).astype(np.uint64)
+           | (np.asarray(ohi).astype(np.uint64) << np.uint64(32))).reshape(12, -1)
+    for i in (0, 3, 7):
+        want = ps.permute([int(v) for v in states[:, i]])
+        assert [int(v) for v in got[:, i]] == want
+
+
+@pytest.mark.skipif(not os.environ.get("PLONKY2_TPU_SLOW_TESTS"),
+                    reason="interpret-mode sponge costs minutes on XLA:CPU; "
+                           "set PLONKY2_TPU_SLOW_TESTS=1 (real-TPU /verify "
+                           "covers this path every round)")
+@pytest.mark.parametrize("width", [8, 135])
+def test_poseidon_sponge_pallas_interpret(width):
+    """End-to-end interpret-mode run of the fused sponge kernel against the
+    scalar sponge (width 8 = Merkle compression; 135 = leaf sponge incl.
+    the width%8 masking)."""
+    from plonky2_tpu.hash import poseidon as ps
+    from plonky2_tpu.ops.pallas_poseidon import sponge_pallas
+
+    rng = np.random.default_rng(width)
+    n = 1000  # exercises in-block padding
+    cols = _rand_canonical(rng, (width, n))
+    got = np.asarray(sponge_pallas(jnp.asarray(cols), interpret=True))
+    assert got.shape == (4, n)
+    for i in (0, 1, 513, n - 1):
+        want = ps.hash_n_to_m_no_pad([int(v) for v in cols[:, i]], 4)
+        assert [int(v) for v in got[:, i]] == want
+
+
+def test_merkle_natural_layers_xla_vs_legacy():
+    """Natural-order leaf/compress device path (XLA, no pallas) equals the
+    legacy bit-reversed path re-indexed."""
+    from plonky2_tpu.hash import merkle
+
+    rng = np.random.default_rng(11)
+    cols = jnp.asarray(_rand_canonical(rng, (9, 64)))
+    leaf_nat = np.asarray(merkle.hash_leaf_cols_dev(cols))
+    leaf_legacy = np.asarray(merkle.hash_leaves_dev(jnp.swapaxes(cols, 0, 1)))
+    np.testing.assert_array_equal(leaf_nat, leaf_legacy.T)
+    par_nat = np.asarray(merkle.compress_halves_dev(jnp.asarray(leaf_nat)))
+    # natural pair (j, j+m/2) == ref pair (rev-adjacent)
+    m = 32
+    pairs = np.concatenate([leaf_nat[:, :m], leaf_nat[:, m:]], axis=0).T  # [m, 8]
+    par_legacy = np.asarray(merkle.compress_layer_dev(
+        jnp.asarray(pairs.reshape(2 * m, 4))))
+    np.testing.assert_array_equal(par_nat, par_legacy.T)
