@@ -202,33 +202,40 @@ def fri_proof_of_work(challenger, config) -> int:
 
 def _fri_prover_query_rounds(initial_merkle_trees, trees, challenger, n, fri_params):
     indices = [c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)]
-    return [
-        _fri_prover_query_round(initial_merkle_trees, trees, x, fri_params)
-        for x in indices
-    ]
+    # Batched extraction: ONE device gather + fetch per tree for all query
+    # rounds (a per-index walk costs a tunnel round-trip per array access).
+    initial_opens = [_open_many(t, indices) for t in initial_merkle_trees]
+    step_opens = []
+    xs = indices
+    for i, tree in enumerate(trees):
+        xs = [x >> fri_params.reduction_arity_bits[i] for x in xs]
+        step_opens.append(_open_many(tree, xs))
+    rounds = []
+    for qi in range(len(indices)):
+        steps = [
+            FriQueryStep(
+                evals=_unflatten(step_opens[i][qi][0]),
+                merkle_proof=step_opens[i][qi][1],
+            )
+            for i in range(len(trees))
+        ]
+        rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(
+                evals_proofs=[opens[qi] for opens in initial_opens]),
+            steps=steps,
+        ))
+    return rounds
+
+
+def _open_many(tree, indices):
+    open_many = getattr(tree, "open_many", None)
+    if open_many is not None:
+        return open_many(indices)
+    return [(tree.leaf(i), tree.prove(i)) for i in indices]
 
 
 def _unflatten(flat: list[int]) -> list[tuple]:
     return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
-
-
-def _fri_prover_query_round(initial_merkle_trees, trees, x_index, fri_params):
-    initial_proof = [(t.leaf(x_index), t.prove(x_index)) for t in initial_merkle_trees]
-    steps = []
-    for i, tree in enumerate(trees):
-        arity_bits = fri_params.reduction_arity_bits[i]
-        coset_index = x_index >> arity_bits
-        steps.append(
-            FriQueryStep(
-                evals=_unflatten(tree.leaf(coset_index)),
-                merkle_proof=tree.prove(coset_index),
-            )
-        )
-        x_index = coset_index
-    return FriQueryRound(
-        initial_trees_proof=FriInitialTreeProof(evals_proofs=initial_proof),
-        steps=steps,
-    )
 
 
 def _fri_proof_of_work_host(challenger, config) -> int:

@@ -152,10 +152,20 @@ class MerkleTree:
         leaves = jnp.asarray(np.asarray(leaves, dtype=np.uint64))
         self.leaves = leaves
         self.cap_height = cap_height
-        layers = _build_jit(leaves, cap_height)
-        # pull digests to host once; proofs are host-side gathers
-        self._layers = [np.asarray(l) for l in layers]
-        self.cap = [[int(v) for v in row] for row in self._layers[-1]]
+        # Layers stay on device; only the (tiny) cap is fetched eagerly —
+        # a full-layer fetch costs seconds over the axon tunnel. Queries go
+        # through open_many (one batched device gather); leaf()/prove() are
+        # lazy-fetch fallbacks.
+        self._layers_dev = _build_jit(leaves, cap_height)
+        self._layers_host = None
+        self.cap = [[int(v) for v in row]
+                    for row in np.asarray(self._layers_dev[-1])]
+
+    @property
+    def _layers(self):
+        if self._layers_host is None:
+            self._layers_host = [np.asarray(l) for l in self._layers_dev]
+        return self._layers_host
 
     @property
     def num_leaves(self) -> int:
@@ -172,10 +182,52 @@ class MerkleTree:
     def leaf(self, leaf_index: int) -> list[int]:
         return [int(v) for v in np.asarray(self.leaves[leaf_index])]
 
+    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
+        """Batched (leaf, proof) extraction: ONE device gather + two host
+        fetches for all queries (vs one tunnel round-trip per array access)."""
+        levels = len(self._layers_dev) - 1
+        q = len(indices)
+        leaf_idx = np.asarray(indices, dtype=np.int32)
+        sib_idx = np.asarray(
+            [[(i >> k) ^ 1 for k in range(levels)] for i in indices],
+            dtype=np.int32).reshape(q, levels)
+        leaves, sibs = _gather_openings_rows(
+            self.leaves, tuple(self._layers_dev[:-1]),
+            jnp.asarray(leaf_idx), jnp.asarray(sib_idx))
+        leaves = np.asarray(leaves)          # [q, width]
+        sibs = np.asarray(sibs)              # [q, levels, 4]
+        return [
+            ([int(v) for v in leaves[qi]],
+             MerkleProof([[int(v) for v in sibs[qi, k]] for k in range(levels)]))
+            for qi in range(q)
+        ]
+
 
 @partial(jax.jit, static_argnums=1)
 def _build_jit(leaves, cap_height):
     return merkle_layers_dev(leaves, cap_height)
+
+
+@jax.jit
+def _gather_openings_rows(leaves, layers, leaf_idx, sib_idx):
+    """Row-major gather: leaves [n, width] rows at leaf_idx [q]; per level k
+    digests layers[k] [m, 4] at sib_idx [q, levels] -> sibs [q, levels, 4]."""
+    out_leaves = jnp.take(leaves, leaf_idx, axis=0)
+    sibs = [jnp.take(layer, sib_idx[:, k], axis=0)
+            for k, layer in enumerate(layers)]
+    return out_leaves, (jnp.stack(sibs, axis=1) if sibs
+                        else jnp.zeros((leaf_idx.shape[0], 0, 4), jnp.uint64))
+
+
+@jax.jit
+def _gather_openings_cols(cols, layers, leaf_idx, sib_idx):
+    """Column-major gather: cols [width, n] at leaf_idx [q]; per level k
+    digests layers[k] [4, m] at sib_idx [q, levels] -> sibs [q, levels, 4]."""
+    out_leaves = jnp.take(cols, leaf_idx, axis=1).T
+    sibs = [jnp.take(layer, sib_idx[:, k], axis=1).T
+            for k, layer in enumerate(layers)]
+    return out_leaves, (jnp.stack(sibs, axis=1) if sibs
+                        else jnp.zeros((leaf_idx.shape[0], 0, 4), jnp.uint64))
 
 
 class NaturalMerkleTree:
@@ -196,15 +248,23 @@ class NaturalMerkleTree:
         self._lg_n = n.bit_length() - 1
         assert 1 << self._lg_n == n, "leaf count must be a power of two"
         assert cap_height <= self._lg_n
-        layers = _build_natural_jit(cols, cap_height)
-        self._cols = None  # fetched lazily; [width, n] natural order
+        # Layers and leaf columns stay on device; only the cap is fetched
+        # eagerly (a full-layer fetch costs seconds over the axon tunnel).
+        self._layers_dev = _build_natural_jit(cols, cap_height)
+        self._cols = None  # host cache; [width, n] natural order
         self._cols_dev = cols
-        self._layers = [np.asarray(l) for l in layers]  # each [4, m]
-        cap_nat = self._layers[-1]
+        self._layers_host = None
+        cap_nat = np.asarray(self._layers_dev[-1])
         self.cap = [
             [int(v) for v in cap_nat[:, reverse_bits(c, cap_height)]]
             for c in range(1 << cap_height)
         ]
+
+    @property
+    def _layers(self):
+        if self._layers_host is None:
+            self._layers_host = [np.asarray(l) for l in self._layers_dev]
+        return self._layers_host
 
     @property
     def num_leaves(self) -> int:
@@ -226,6 +286,28 @@ class NaturalMerkleTree:
             j = reverse_bits(sib_ref, self._lg_n - k)
             siblings.append([int(v) for v in self._layers[k][:, j]])
         return MerkleProof(siblings)
+
+    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
+        """Batched (leaf, proof) extraction: ONE device gather + two host
+        fetches for all queries. Index remapping ref->natural happens here
+        on host integers."""
+        levels = self._lg_n - self.cap_height
+        q = len(indices)
+        leaf_idx = np.asarray(
+            [reverse_bits(i, self._lg_n) for i in indices], dtype=np.int32)
+        sib_idx = np.asarray(
+            [[reverse_bits((i >> k) ^ 1, self._lg_n - k) for k in range(levels)]
+             for i in indices], dtype=np.int32).reshape(q, levels)
+        leaves, sibs = _gather_openings_cols(
+            self._cols_dev, tuple(self._layers_dev[:-1]),
+            jnp.asarray(leaf_idx), jnp.asarray(sib_idx))
+        leaves = np.asarray(leaves)          # [q, width]
+        sibs = np.asarray(sibs)              # [q, levels, 4]
+        return [
+            ([int(v) for v in leaves[qi]],
+             MerkleProof([[int(v) for v in sibs[qi, k]] for k in range(levels)]))
+            for qi in range(q)
+        ]
 
 
 # ---------------------------------------------------------------------------
