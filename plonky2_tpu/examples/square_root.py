@@ -20,6 +20,9 @@ class SquareRootGenerator(SimpleGenerator):
     def dependencies(self):
         return [self.x_squared]
 
+    def outputs(self):
+        return [self.x]
+
     def run_once(self, witness, out):
         x_squared = witness.get_target(self.x_squared)
         x = fs.sqrt(x_squared)

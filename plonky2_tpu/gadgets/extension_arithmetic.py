@@ -34,6 +34,9 @@ class QuotientGeneratorExtension(SimpleGenerator):
     def dependencies(self):
         return list(self.numerator.parts) + list(self.denominator.parts)
 
+    def outputs(self):
+        return list(self.quotient.parts)
+
     def run_once(self, witness, out):
         num = witness.get_extension_target(self.numerator)
         den = witness.get_extension_target(self.denominator)

@@ -20,6 +20,9 @@ class InverseGenerator(SimpleGenerator):
     def dependencies(self):
         return [self.x]
 
+    def outputs(self):
+        return [self.inv]
+
     def run_once(self, witness, out_buffer):
         v = witness.get_target(self.x)
         out_buffer.set_target(self.inv, fs.inverse(v))
@@ -42,6 +45,9 @@ class EqualityGenerator(SimpleGenerator):
 
     def dependencies(self):
         return [self.x, self.y]
+
+    def outputs(self):
+        return [self.equal, self.inv_hint]
 
     def run_once(self, witness, out_buffer):
         diff = fs.sub(witness.get_target(self.x), witness.get_target(self.y))

@@ -19,6 +19,9 @@ class WireSplitGenerator(SimpleGenerator):
     def dependencies(self):
         return [self.integer]
 
+    def outputs(self):
+        return [Wire(row, BaseSumGate.WIRE_SUM) for row in self.gates]
+
     def run_once(self, witness, out):
         v = witness.get_target(self.integer)
         for row in self.gates:
@@ -36,6 +39,9 @@ class LowHighGenerator(SimpleGenerator):
 
     def dependencies(self):
         return [self.integer]
+
+    def outputs(self):
+        return [self.low, self.high]
 
     def run_once(self, witness, out):
         v = witness.get_target(self.integer)

@@ -100,6 +100,10 @@ class ArithmeticExtensionGenerator(SimpleGenerator):
             for w in rng
         ]
 
+    def outputs(self):
+        return [Wire(self.row, w)
+                for w in ArithmeticExtensionGate.wires_ith_output(self.i)]
+
     def run_once(self, witness, out):
         i, row = self.i, self.row
         ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
@@ -188,6 +192,10 @@ class MulExtensionGenerator(SimpleGenerator):
             )
             for w in rng
         ]
+
+    def outputs(self):
+        return [Wire(self.row, w)
+                for w in MulExtensionGate.wires_ith_output(self.i)]
 
     def run_once(self, witness, out):
         i, row = self.i, self.row

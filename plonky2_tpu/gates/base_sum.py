@@ -74,6 +74,10 @@ class BaseSplitGenerator(SimpleGenerator):
     def dependencies(self):
         return [Wire(self.row, BaseSumGate.WIRE_SUM)]
 
+    def outputs(self):
+        return [Wire(self.row, BaseSumGate.START_LIMBS + i)
+                for i in range(self.num_limbs)]
+
     def run_once(self, witness, out):
         sum_value = witness.get_target(Wire(self.row, BaseSumGate.WIRE_SUM))
         limbs = []

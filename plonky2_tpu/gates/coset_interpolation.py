@@ -202,6 +202,15 @@ class InterpolationGenerator(SimpleGenerator):
             deps += [Wire(self.row, w) for w in gate.wires_value(i)]
         return deps
 
+    def outputs(self):
+        gate = self._gate()
+        cols = list(gate.wires_shifted_evaluation_point())
+        for i in range(gate.num_intermediates()):
+            cols += list(gate.wires_intermediate_eval(i))
+            cols += list(gate.wires_intermediate_prod(i))
+        cols += list(gate.wires_evaluation_value())
+        return [Wire(self.row, c) for c in cols]
+
     def run_once(self, witness, out):
         gate = self._gate()
         row = self.row

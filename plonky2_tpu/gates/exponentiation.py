@@ -83,6 +83,12 @@ class ExponentiationGenerator(SimpleGenerator):
             Wire(self.row, gate.wire_power_bit(i)) for i in range(self.num_power_bits)
         ]
 
+    def outputs(self):
+        gate = self._gate()
+        return [Wire(self.row, gate.wire_intermediate_value(i))
+                for i in range(self.num_power_bits)] + [
+            Wire(self.row, gate.wire_output())]
+
     def run_once(self, witness, out):
         gate = self._gate()
         row = self.row

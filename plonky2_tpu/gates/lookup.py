@@ -82,6 +82,9 @@ class LookupGenerator(SimpleGenerator):
     def dependencies(self):
         return [Wire(self.row, LookupGate.wire_ith_looking_inp(self.slot_nb))]
 
+    def outputs(self):
+        return [Wire(self.row, LookupGate.wire_ith_looking_out(self.slot_nb))]
+
     def run_once(self, witness, out):
         inp = witness.get_target(Wire(self.row, LookupGate.wire_ith_looking_inp(self.slot_nb)))
         out_wire = Wire(self.row, LookupGate.wire_ith_looking_out(self.slot_nb))
@@ -164,6 +167,12 @@ class LookupTableGenerator(SimpleGenerator):
 
     def dependencies(self):
         return []
+
+    def outputs(self):
+        return [
+            Wire(self.row, LookupTableGate.wire_ith_looked_inp(self.slot_nb)),
+            Wire(self.row, LookupTableGate.wire_ith_looked_out(self.slot_nb)),
+        ]
 
     def run_once(self, witness, out):
         first_row = self.last_lut_row + (len(self.lut) + self.num_slots - 1) // self.num_slots - 1

@@ -124,6 +124,49 @@ class HostBaseOps:
         return fs.mul(c % fs.P, a)
 
 
+class NumpyBaseOps:
+    """Values are numpy u64 arrays — the witness batch engine runs the same
+    ops-generic gate code vectorized over all rows of a generator batch."""
+
+    def __init__(self):
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+
+        self._np = np
+        self._f = npf
+
+    def constant(self, c: int):
+        return self._np.uint64(c % fs.P)
+
+    def zero(self):
+        return self._np.uint64(0)
+
+    def one(self):
+        return self._np.uint64(1)
+
+    def add(self, a, b):
+        return self._f.add(a, b)
+
+    def sub(self, a, b):
+        return self._f.sub(a, b)
+
+    def mul(self, a, b):
+        return self._f.mul(a, b)
+
+    def square(self, a):
+        return self._f.mul(a, a)
+
+    def neg(self, a):
+        return self._f.neg(a)
+
+    def add_const(self, a, c: int):
+        return self._f.add(a, self._np.uint64(c % fs.P))
+
+    def mul_const(self, c: int, a):
+        return self._f.mul(self._np.uint64(c % fs.P), a)
+
+
 class EvaluationVars:
     """local_constants / local_wires / public_inputs_hash are sequences of
     ops-domain values (pre-lifted by the caller)."""

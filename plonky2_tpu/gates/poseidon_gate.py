@@ -347,6 +347,97 @@ class PoseidonGenerator(SimpleGenerator):
             Wire(self.row, PoseidonGate.WIRE_SWAP)
         ]
 
+    def outputs(self):
+        P = PoseidonGate
+        outs = [Wire(self.row, P.wire_delta(i)) for i in range(4)]
+        for r in range(1, HALF_N_FULL_ROUNDS):
+            outs += [Wire(self.row, P.wire_full_sbox_0(r, i)) for i in range(W)]
+        outs += [Wire(self.row, P.wire_partial_sbox(r))
+                 for r in range(N_PARTIAL_ROUNDS)]
+        for r in range(HALF_N_FULL_ROUNDS):
+            outs += [Wire(self.row, P.wire_full_sbox_1(r, i)) for i in range(W)]
+        outs += [Wire(self.row, P.wire_output(i)) for i in range(W)]
+        return outs
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """All rows of the batch at once: the same ops-generic layer code as
+        run_once, on numpy u64 row-vectors (NumpyBaseOps). One permutation's
+        worth of Python ops serves every PoseidonGate in the level."""
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+        from plonky2_tpu.gates.ops import NumpyBaseOps
+
+        n = len(gens)
+        rows = [g.row for g in gens]
+
+        def wreps(col):
+            return np.fromiter(
+                (witness.rep_index(Wire(r, col)) for r in rows), np.int64, n)
+
+        getcol = lambda col: witness.get_reps(wreps(col))
+        inputs = [getcol(PoseidonGate.wire_input(i)) for i in range(W)]
+        swap = getcol(PoseidonGate.WIRE_SWAP)
+        assert bool(((swap == 0) | (swap == 1)).all()), "swap must be 0 or 1"
+
+        write_cols: list[int] = []
+        write_vals: list[np.ndarray] = []
+
+        def put(col, vals):
+            write_cols.append(col)
+            write_vals.append(vals)
+
+        for i in range(4):
+            put(PoseidonGate.wire_delta(i),
+                npf.mul(swap, npf.sub(inputs[i + 4], inputs[i])))
+
+        do_swap = swap == 1
+        state = list(inputs)
+        for i in range(4):
+            a, b = state[i], state[i + 4]
+            state[i] = np.where(do_swap, b, a)
+            state[i + 4] = np.where(do_swap, a, b)
+
+        ops = NumpyBaseOps()
+        round_ctr = 0
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            if r != 0:
+                for i in range(W):
+                    put(PoseidonGate.wire_full_sbox_0(r, i), state[i])
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        state = partial_first_constant_layer(ops, state)
+        state = mds_partial_layer_init(ops, state)
+        for r in range(N_PARTIAL_ROUNDS - 1):
+            put(PoseidonGate.wire_partial_sbox(r), state[0])
+            s0 = sbox_monomial(ops, state[0])
+            s0 = ops.add_const(s0, FAST_PARTIAL_ROUND_CONSTANTS[r])
+            state = mds_partial_layer_fast(ops, [s0] + state[1:], r)
+        put(PoseidonGate.wire_partial_sbox(N_PARTIAL_ROUNDS - 1), state[0])
+        s0 = sbox_monomial(ops, state[0])
+        state = mds_partial_layer_fast(ops, [s0] + state[1:], N_PARTIAL_ROUNDS - 1)
+        round_ctr += N_PARTIAL_ROUNDS
+
+        for r in range(HALF_N_FULL_ROUNDS):
+            state = constant_layer(ops, state, round_ctr)
+            for i in range(W):
+                put(PoseidonGate.wire_full_sbox_1(r, i), state[i])
+            state = sbox_layer(ops, state)
+            state = mds_layer(ops, state)
+            round_ctr += 1
+
+        for i in range(W):
+            put(PoseidonGate.wire_output(i), state[i])
+
+        all_reps = np.concatenate([wreps(c) for c in write_cols])
+        all_vals = np.concatenate(
+            [np.broadcast_to(np.asarray(v, np.uint64), (n,)) for v in write_vals])
+        witness.set_reps(all_reps, all_vals)
+
     def run_once(self, witness, out):
         ops = HostBaseOps()
         row = self.row

@@ -77,6 +77,13 @@ class PoseidonMdsGenerator(SimpleGenerator):
             for w in PoseidonMdsGate.wires_input(i)
         ]
 
+    def outputs(self):
+        return [
+            Wire(self.row, w)
+            for r in range(W)
+            for w in PoseidonMdsGate.wires_output(r)
+        ]
+
     def run_once(self, witness, out):
         row = self.row
         inputs = [

@@ -136,6 +136,12 @@ class RandomAccessGenerator(SimpleGenerator):
             for i in range(gate.vec_size())
         ]
 
+    def outputs(self):
+        gate = self._gate()
+        return [Wire(self.row, gate.wire_claimed_element(self.copy))] + [
+            Wire(self.row, gate.wire_bit(i, self.copy)) for i in range(gate.bits)
+        ]
+
     def run_once(self, witness, out):
         gate = self._gate()
         row, copy = self.row, self.copy

@@ -98,6 +98,14 @@ class ReducingGenerator(SimpleGenerator):
         cols = list(gate.wires_alpha()) + list(gate.wires_old_acc()) + list(gate.wires_coeffs())
         return [Wire(self.row, c) for c in cols]
 
+    def outputs(self):
+        gate = self._gate()
+        cols = []
+        for i in range(gate.num_coeffs):
+            cols += list(gate.wires_accs(i))
+        cols += list(gate.wires_output())
+        return [Wire(self.row, c) for c in cols]
+
     def run_once(self, witness, out):
         gate = self._gate()
         row = self.row
@@ -185,6 +193,14 @@ class ReducingExtensionGenerator(SimpleGenerator):
         cols = list(gate.wires_alpha()) + list(gate.wires_old_acc())
         for i in range(gate.num_coeffs):
             cols += list(gate.wires_coeff(i))
+        return [Wire(self.row, c) for c in cols]
+
+    def outputs(self):
+        gate = self._gate()
+        cols = []
+        for i in range(gate.num_coeffs):
+            cols += list(gate.wires_accs(i))
+        cols += list(gate.wires_output())
         return [Wire(self.row, c) for c in cols]
 
     def run_once(self, witness, out):

@@ -8,6 +8,9 @@ generators watching them (watch lists keyed by partition representative).
 
 from __future__ import annotations
 
+import numpy as np
+
+from plonky2_tpu.field import np_field as npf
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.iop.target import Target
 from plonky2_tpu.iop.witness import PartialWitness, PartitionWitness
@@ -38,6 +41,12 @@ class SimpleGenerator:
     def dependencies(self) -> list[Target]:
         raise NotImplementedError
 
+    def outputs(self) -> list[Target] | None:
+        """Targets this generator writes, for build-time levelization.
+        None = statically unknown; circuits containing such a generator fall
+        back to the dynamic worklist scheduler."""
+        return None
+
     def run_once(self, witness: PartitionWitness, out_buffer: GeneratedValues) -> None:
         raise NotImplementedError
 
@@ -52,10 +61,21 @@ class ConstantGenerator(SimpleGenerator):
     def dependencies(self):
         return []
 
+    def outputs(self):
+        from plonky2_tpu.iop.target import Wire
+
+        return [Wire(self.row, self.wire_index)]
+
     def run_once(self, witness, out_buffer):
         from plonky2_tpu.iop.target import Wire
 
         out_buffer.set_target(Wire(self.row, self.wire_index), self.constant)
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        reps = _reps(witness, (g.outputs()[0] for g in gens), len(gens))
+        vals = np.fromiter((g.constant for g in gens), np.uint64, len(gens))
+        witness.set_reps(reps, vals)
 
 
 class CopyGenerator(SimpleGenerator):
@@ -66,8 +86,17 @@ class CopyGenerator(SimpleGenerator):
     def dependencies(self):
         return [self.src]
 
+    def outputs(self):
+        return [self.dst]
+
     def run_once(self, witness, out_buffer):
         out_buffer.set_target(self.dst, witness.get_target(self.src))
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        src = _reps(witness, (g.src for g in gens), len(gens))
+        dst = _reps(witness, (g.dst for g in gens), len(gens))
+        witness.set_reps(dst, witness.get_reps(src))
 
 
 class RandomValueGenerator(SimpleGenerator):
@@ -77,10 +106,19 @@ class RandomValueGenerator(SimpleGenerator):
     def dependencies(self):
         return []
 
+    def outputs(self):
+        return [self.target]
+
     def run_once(self, witness, out_buffer):
         import random
 
         out_buffer.set_target(self.target, random.randrange(fs.P))
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        reps = _reps(witness, (g.target for g in gens), len(gens))
+        vals = np.random.randint(0, int(fs.P), size=len(gens), dtype=np.uint64)
+        witness.set_reps(reps, vals)
 
 
 class NonzeroTestGenerator(SimpleGenerator):
@@ -91,9 +129,16 @@ class NonzeroTestGenerator(SimpleGenerator):
     def dependencies(self):
         return [self.to_test]
 
+    def outputs(self):
+        return [self.dummy]
+
     def run_once(self, witness, out_buffer):
         v = witness.get_target(self.to_test)
         out_buffer.set_target(self.dummy, fs.inverse(v) if v != 0 else 1)
+
+
+def _reps(witness, targets, n) -> np.ndarray:
+    return np.fromiter((witness.rep_index(t) for t in targets), np.int64, n)
 
 
 class ArithmeticBaseGenerator(SimpleGenerator):
@@ -115,6 +160,12 @@ class ArithmeticBaseGenerator(SimpleGenerator):
             Wire(self.row, ArithmeticGate.wire_ith_addend(self.i)),
         ]
 
+    def outputs(self):
+        from plonky2_tpu.gates.arithmetic_base import ArithmeticGate
+        from plonky2_tpu.iop.target import Wire
+
+        return [Wire(self.row, ArithmeticGate.wire_ith_output(self.i))]
+
     def run_once(self, witness, out_buffer):
         from plonky2_tpu.gates.arithmetic_base import ArithmeticGate
         from plonky2_tpu.iop.target import Wire
@@ -125,11 +176,102 @@ class ArithmeticBaseGenerator(SimpleGenerator):
         out = fs.add(fs.mul(self.const_0, fs.mul(m0, m1)), fs.mul(self.const_1, a))
         out_buffer.set_target(Wire(self.row, ArithmeticGate.wire_ith_output(self.i)), out)
 
+    @classmethod
+    def run_batch(cls, gens, witness):
+        from plonky2_tpu.gates.arithmetic_base import ArithmeticGate
+        from plonky2_tpu.iop.target import Wire
+
+        n = len(gens)
+        deps = [g.dependencies() for g in gens]
+        m0 = witness.get_reps(_reps(witness, (d[0] for d in deps), n))
+        m1 = witness.get_reps(_reps(witness, (d[1] for d in deps), n))
+        a = witness.get_reps(_reps(witness, (d[2] for d in deps), n))
+        c0 = np.fromiter((g.const_0 for g in gens), np.uint64, n)
+        c1 = np.fromiter((g.const_1 for g in gens), np.uint64, n)
+        out = npf.add(npf.mul(c0, npf.mul(m0, m1)), npf.mul(c1, a))
+        out_reps = _reps(
+            witness,
+            (Wire(g.row, ArithmeticGate.wire_ith_output(g.i)) for g in gens), n)
+        witness.set_reps(out_reps, out)
+
+
+def _levelize(generators, witness) -> list[list[int]] | None:
+    """Static topological levels over partition representatives.
+
+    A generator's dependency is 'internal' iff some generator produces its
+    representative; external deps come from the PartialWitness inputs (set
+    before level 0). Returns None — fall back to the dynamic worklist — if
+    any generator lacks static outputs() or the conservative graph stalls.
+    The level schedule depends only on the circuit, so callers cache it on
+    the prover data."""
+    n = len(generators)
+    out_reps: list[list[int]] = []
+    deps_reps: list[list[int]] = []
+    for g in generators:
+        outs = g.outputs()
+        if outs is None:
+            return None
+        out_reps.append([witness.rep_index(t) for t in outs])
+        deps_reps.append([witness.rep_index(t) for t in g.dependencies()])
+    produced: set[int] = set()
+    for reps in out_reps:
+        produced.update(reps)
+    waiters: dict[int, list[int]] = {}
+    unseen = [0] * n
+    for i, reps in enumerate(deps_reps):
+        for r in set(reps):
+            if r in produced:
+                unseen[i] += 1
+                waiters.setdefault(r, []).append(i)
+    current = [i for i in range(n) if unseen[i] == 0]
+    levels = []
+    fired = 0
+    seen: set[int] = set()
+    while current:
+        levels.append(current)
+        fired += len(current)
+        newly: list[int] = []
+        for i in current:
+            for r in out_reps[i]:
+                if r not in seen:
+                    seen.add(r)
+                    newly.append(r)
+        nxt: list[int] = []
+        for r in newly:
+            for w in waiters.get(r, ()):
+                unseen[w] -= 1
+                if unseen[w] == 0:
+                    nxt.append(w)
+        current = nxt
+    return levels if fired == n else None
+
+
+_BATCH_MIN = 8  # below this, scalar run_once beats numpy setup cost
+
+
+def _run_levelized(witness, generators, levels) -> None:
+    buffer = GeneratedValues()
+    for level in levels:
+        by_type: dict[type, list[int]] = {}
+        for i in level:
+            by_type.setdefault(type(generators[i]), []).append(i)
+        for gcls, idxs in by_type.items():
+            run_batch = getattr(gcls, "run_batch", None)
+            if run_batch is not None and len(idxs) >= _BATCH_MIN:
+                run_batch([generators[i] for i in idxs], witness)
+                continue
+            for i in idxs:
+                generators[i].run_once(witness, buffer)
+                for t, v in buffer.target_values:
+                    witness.set_target(t, v)
+                buffer.target_values.clear()
+
 
 def generate_partial_witness(
     inputs: PartialWitness, prover_data, common_data
 ) -> PartitionWitness:
-    """Worklist scheduler (reference iop/generator.rs:26-104)."""
+    """Levelized batch scheduler with dynamic-worklist fallback
+    (reference iop/generator.rs:26-104 is the worklist)."""
     config = common_data.config
     generators = prover_data.generators
     witness = PartitionWitness(
@@ -138,6 +280,14 @@ def generate_partial_witness(
 
     for t, v in inputs.target_values.items():
         witness.set_target(t, v)
+
+    levels = getattr(prover_data, "_generator_levels", False)
+    if levels is False:  # not yet computed for this circuit
+        levels = _levelize(generators, witness)
+        prover_data._generator_levels = levels
+    if levels is not None:
+        _run_levelized(witness, generators, levels)
+        return witness
 
     # watch list: representative -> generator indices (built once per circuit)
     generator_indices_by_rep = prover_data.generator_indices_by_watches

@@ -40,24 +40,31 @@ class PartialWitness:
 
 
 class PartitionWitness:
-    """One Option<F> slot per representative (reference iop/witness.rs:333)."""
+    """One Option<F> slot per representative (reference iop/witness.rs:333).
+
+    Storage is a pair of numpy arrays (values u64 + known mask) so the
+    levelized batch generator engine (iop/generator.py) can gather/scatter
+    whole generator batches without per-target Python overhead."""
 
     def __init__(self, representative_map: list[int], num_wires: int, degree: int):
         self.representative_map = representative_map
         self.num_wires = num_wires
         self.degree = degree
-        self.values: list[int | None] = [None] * (max(representative_map) + 1 if representative_map else 0)
+        n = max(representative_map) + 1 if len(representative_map) else 0
+        self.values = np.zeros(n, dtype=np.uint64)
+        self.known = np.zeros(n, dtype=bool)
 
     def rep_index(self, target: Target) -> int:
         return self.representative_map[target_index(target, self.num_wires, self.degree)]
 
     def try_get_target(self, target: Target):
-        return self.values[self.rep_index(target)]
+        rep = self.rep_index(target)
+        return int(self.values[rep]) if self.known[rep] else None
 
     def get_target(self, target: Target) -> int:
-        v = self.try_get_target(target)
-        assert v is not None, f"Target {target} not set"
-        return v
+        rep = self.rep_index(target)
+        assert self.known[rep], f"Target {target} not set"
+        return int(self.values[rep])
 
     def get_targets(self, targets) -> list[int]:
         return [self.get_target(t) for t in targets]
@@ -66,7 +73,7 @@ class PartitionWitness:
         return tuple(self.get_target(t) for t in ext_target.parts)
 
     def contains(self, target: Target) -> bool:
-        return self.try_get_target(target) is not None
+        return bool(self.known[self.rep_index(target)])
 
     def contains_all(self, targets) -> bool:
         return all(self.contains(t) for t in targets)
@@ -75,21 +82,47 @@ class PartitionWitness:
         """Returns the representative index if newly set, else None.
         Raises on conflicting double-set."""
         rep = self.rep_index(target)
-        old = self.values[rep]
-        if old is not None:
-            if old != value:
+        if self.known[rep]:
+            if int(self.values[rep]) != value:
                 raise ValueError(
                     f"Partition containing {target} was set twice with different values: "
-                    f"{old} != {value}"
+                    f"{int(self.values[rep])} != {value}"
                 )
             return None
         self.values[rep] = value
+        self.known[rep] = True
         return rep
+
+    # -- vector interface for the batch generator engine --------------------
+
+    def get_reps(self, reps: np.ndarray) -> np.ndarray:
+        """Values at representative indices [k] (all must be known)."""
+        assert self.known[reps].all(), "batch read of unset representative"
+        return self.values[reps]
+
+    def set_reps(self, reps: np.ndarray, vals: np.ndarray) -> None:
+        """Vector double-set-consistency write (duplicate reps within one
+        batch and already-known reps must agree with the new values)."""
+        prev_known = self.known[reps]
+        if prev_known.any():
+            bad = prev_known & (self.values[reps] != vals)
+            if bad.any():
+                raise ValueError(
+                    "Partition was batch-set twice with different values "
+                    f"(first rep {int(reps[bad][0])})"
+                )
+        order = np.argsort(reps, kind="stable")
+        rs, vs = reps[order], vals[order]
+        dup = rs[1:] == rs[:-1]
+        if dup.any() and (vs[1:][dup] != vs[:-1][dup]).any():
+            raise ValueError("conflicting duplicate writes within one batch")
+        self.values[reps] = vals
+        self.known[reps] = True
 
     def full_witness(self) -> np.ndarray:
         """[num_wires, degree] matrix; unset wires default to 0
         (reference iop/witness.rs:376 `MatrixWitness`)."""
-        vals = np.array([0 if v is None else v for v in self.values], dtype=np.uint64)
+        vals = np.where(self.known, self.values, np.uint64(0))
         rep = np.asarray(
             self.representative_map[: self.degree * self.num_wires], dtype=np.int64
         )

@@ -81,6 +81,13 @@ class DummyProofGenerator(SimpleGenerator):
     def dependencies(self):
         return []
 
+    def outputs(self):
+        # Enumerate by dry-running the same writer against a recorder.
+        rec = _TargetRecorder()
+        set_proof_with_pis_target(rec, self.proof_with_pis_target, self.proof_with_pis)
+        set_verifier_data_target(rec, self.verifier_data_target, self.verifier_only)
+        return rec.targets
+
     def run_once(self, witness, out):
         pw = _BufferWriter(out)
         set_proof_with_pis_target(pw, self.proof_with_pis_target, self.proof_with_pis)
@@ -120,3 +127,22 @@ def dummy_proof_and_vk(builder, common_data):
         DummyProofGenerator(proof_t, proof, vk_t, circuit.verifier_only)
     )
     return proof_t, vk_t
+
+
+class _TargetRecorder:
+    """Records written targets (for DummyProofGenerator.outputs)."""
+
+    def __init__(self):
+        self.targets = []
+
+    def set_target(self, t, v):
+        self.targets.append(t)
+
+    def set_targets(self, ts, vs):
+        self.targets.extend(ts)
+
+    def set_extension_target(self, et, v):
+        self.targets.extend(et.parts)
+
+    def set_hash_target(self, ht, v):
+        self.targets.extend(ht)
