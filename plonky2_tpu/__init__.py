@@ -15,11 +15,25 @@ Reference capability map: see SURVEY.md (structural analysis of
 0xPolygonZero/plonky2 @ /root/reference).
 """
 
+import os
+
 import jax
 
 # The Goldilocks field needs 64-bit integer lanes. All device math is expressed
 # over uint64 (XLA emulates u64 with 32-bit pairs on TPU); hot kernels are
 # re-expressed as explicit 32-bit-limb Pallas kernels in plonky2_tpu/ops/.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: a prover run compiles ~65 distinct XLA
+# programs, and TPU compiles go through a slow remote relay — caching them
+# across processes turns repeat proves/benches from minutes of compiling
+# into seconds. Opt out with PLONKY2_TPU_CACHE=0 or point elsewhere.
+_cache_dir = os.environ.get(
+    "PLONKY2_TPU_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "plonky2_tpu_xla"))
+if _cache_dir != "0":
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
