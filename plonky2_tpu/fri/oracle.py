@@ -82,7 +82,9 @@ class PolynomialBatch:
     @staticmethod
     def from_values(values, rate_bits: int, blinding: bool, cap_height: int,
                     hasher=None) -> "PolynomialBatch":
-        values = jnp.asarray(np.asarray(values, dtype=np.uint64))
+        from plonky2_tpu.parallel import shard_polys
+
+        values = shard_polys(jnp.asarray(np.asarray(values, dtype=np.uint64)))
         n = values.shape[-1]
         if _algebraic(hasher):
             coeffs, lde = _values_to_lde(values, rate_bits)
@@ -95,7 +97,9 @@ class PolynomialBatch:
     @staticmethod
     def from_coeffs(coeffs, rate_bits: int, blinding: bool, cap_height: int,
                     hasher=None) -> "PolynomialBatch":
-        coeffs = jnp.asarray(np.asarray(coeffs, dtype=np.uint64))
+        from plonky2_tpu.parallel import shard_polys
+
+        coeffs = shard_polys(jnp.asarray(np.asarray(coeffs, dtype=np.uint64)))
         n = coeffs.shape[-1]
         if _algebraic(hasher):
             lde = _coeffs_to_lde(coeffs, rate_bits)

@@ -38,6 +38,76 @@ def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+# -- active-mesh context ------------------------------------------------------
+#
+# The prover's device programs are ordinary jits; multi-chip execution works
+# by placing their INPUTS with named shardings (GSPMD then propagates layouts
+# and inserts collectives). `use_mesh` activates a mesh; the shard_* helpers
+# are no-ops without one, so the single-chip path is untouched.
+
+_ACTIVE_MESH: list[Mesh] = []
+
+
+class use_mesh:
+    """Context manager: run prover phases sharded over `mesh`."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE_MESH.pop()
+        return False
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+
+
+def _shard(x, spec):
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def shard_polys(x):
+    """[num_polys, n]: shard the polynomial axis (per-poly data parallel —
+    the reference's rayon par_iter over columns, fri/oracle.rs:66)."""
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    n_dev = mesh.devices.size
+    if x.shape[0] % n_dev != 0:
+        # uneven poly counts: shard the long (evaluation) axis instead
+        return _shard(x, P(None, mesh.axis_names[0])) if x.shape[-1] % n_dev == 0 else jnp.asarray(x)
+    return _shard(x, P(mesh.axis_names[0], None))
+
+
+def shard_rows(x):
+    """[n, ...]: shard the leading (row/evaluation-point) axis."""
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    if x.shape[0] % mesh.devices.size != 0:
+        return jnp.asarray(x)
+    return _shard(x, P(mesh.axis_names[0]))
+
+
+def shard_lanes(x):
+    """[..., n]: shard the trailing (evaluation-point) axis."""
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    if x.shape[-1] % mesh.devices.size != 0:
+        return jnp.asarray(x)
+    spec = P(*([None] * (x.ndim - 1) + [mesh.axis_names[0]]))
+    return _shard(x, spec)
+
+
 def sharded_commit(values, rate_bits: int, cap_height: int, mesh: Mesh):
     """Round-1 commitment pipeline under a mesh: poly-sharded NTT/LDE, one
     all-to-all into row-sharded leaves, local Merkle layers, gathered cap.

@@ -501,10 +501,14 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
     assert rate_bits >= qd_bits
     step = 1 << (rate_bits - qd_bits)
 
-    # natural-order sub-LDE: stride-`step` subsample of the stored LDE
-    cs_q = constants_sigmas_commitment.lde[:, ::step]
-    wires_q = wires_commitment.lde[:, ::step]
-    zs_pp_q = zs_pp_commitment.lde[:, ::step]
+    # natural-order sub-LDE: stride-`step` subsample of the stored LDE;
+    # point-sharded under an active mesh (embarrassingly parallel map over
+    # the evaluation domain, reference plonk/prover.rs:607-687)
+    from plonky2_tpu.parallel import shard_lanes
+
+    cs_q = shard_lanes(constants_sigmas_commitment.lde[:, ::step])
+    wires_q = shard_lanes(wires_commitment.lde[:, ::step])
+    zs_pp_q = shard_lanes(zs_pp_commitment.lde[:, ::step])
 
     # domain points x = shift * v^j (v the Q-th root) and Z_H(x)^-1 (period qdf)
     v = fs.primitive_root_of_unity(qd_bits + common.degree_bits)
@@ -540,7 +544,8 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
         jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
         jnp.asarray(deltas_np), jnp.asarray(lut_re_evals),
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
-        jnp.asarray(xs), jnp.asarray(z_h), jnp.asarray(z_h_inv),
+        shard_lanes(jnp.asarray(xs)), shard_lanes(jnp.asarray(z_h)),
+        shard_lanes(jnp.asarray(z_h_inv)),
     )
 
 
