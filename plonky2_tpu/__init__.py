@@ -27,11 +27,14 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: a prover run compiles ~65 distinct XLA
 # programs, and TPU compiles go through a slow remote relay — caching them
 # across processes turns repeat proves/benches from minutes of compiling
-# into seconds. Opt out with PLONKY2_TPU_CACHE=0 or point elsewhere.
+# into seconds. TPU-backend only: XLA:CPU AOT cache entries record the
+# COMPILE machine's CPU features (compiles are relayed off-host here), and
+# loading feature-mismatched native code on this host segfaults.
+# Opt out with PLONKY2_TPU_CACHE=0 or point elsewhere.
 _cache_dir = os.environ.get(
     "PLONKY2_TPU_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "plonky2_tpu_xla"))
-if _cache_dir != "0":
+if _cache_dir != "0" and os.environ.get("JAX_PLATFORMS", "axon") not in ("cpu",):
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

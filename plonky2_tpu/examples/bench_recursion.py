@@ -35,7 +35,7 @@ def dummy_proof(config: CircuitConfig, log2_size: int):
 
 
 def recursive_proof(inner, config: CircuitConfig, min_degree_bits: int | None = None,
-                    timing: TimingTree | None = None):
+                    timing: TimingTree | None = None, return_data: bool = False):
     """One recursion layer (reference bench_recursion.rs:240-292)."""
     inner_proof, inner_vd, inner_cd = inner
     builder = CircuitBuilder(config)
@@ -55,11 +55,22 @@ def recursive_proof(inner, config: CircuitConfig, min_degree_bits: int | None = 
     set_verifier_data_target(pw, vdt, inner_vd)
     proof = data.prove(pw, timing=timing)
     data.verify(proof)
-    return proof, data.verifier_only, data.common
+    result = proof, data.verifier_only, data.common
+    if return_data:
+        return result, {"data": data, "pt": pt, "vdt": vdt}
+    return result
 
 
-def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool = True):
-    """Chain of three proofs: inner 2^size -> middle -> outer."""
+def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool = True,
+              repeats: int = 0):
+    """Chain of three proofs: inner 2^size -> middle -> outer.
+
+    First-build times include one-time costs (circuit construction, XLA
+    tracing, compile-cache population). `repeats` re-proves the middle
+    recursion circuit in-process afterwards — the steady-state prover
+    latency a proving service sees (the reference's criterion bench also
+    measures warm in-process iterations).
+    """
     config = config or CircuitConfig.standard_recursion_config()
     timings = {}
 
@@ -68,21 +79,39 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
     timings["inner"] = time.time() - t0
     if verbose:
         print(f"inner proof (2^{size} gates): {timings['inner']:.1f}s "
-              f"degree 2^{inner[2].degree_bits}")
+              f"degree 2^{inner[2].degree_bits}", flush=True)
 
     t0 = time.time()
-    middle = recursive_proof(inner, config)
+    middle, middle_data = recursive_proof(inner, config, return_data=True)
     timings["middle"] = time.time() - t0
     if verbose:
         print(f"middle recursion layer: {timings['middle']:.1f}s "
-              f"degree 2^{middle[2].degree_bits}")
+              f"degree 2^{middle[2].degree_bits}", flush=True)
 
     t0 = time.time()
     outer = recursive_proof(middle, config)
     timings["outer"] = time.time() - t0
     if verbose:
         print(f"outer recursion layer: {timings['outer']:.1f}s "
-              f"degree 2^{outer[2].degree_bits}")
+              f"degree 2^{outer[2].degree_bits}", flush=True)
+
+    if repeats:
+        pw = PartialWitness()
+        set_proof_with_pis_target(pw, middle_data["pt"], inner[0])
+        set_verifier_data_target(pw, middle_data["vdt"], inner[1])
+        best = float("inf")
+        for r in range(repeats):
+            t0 = time.time()
+            proof = middle_data["data"].prove(pw)
+            dt = time.time() - t0
+            best = min(best, dt)
+            if verbose:
+                print(f"warm recursive prove[{r}]: {dt:.2f}s", flush=True)
+        middle_data["data"].verify(proof)
+        timings["warm_prove"] = best
+        if verbose:
+            print(f"steady-state recursive prove: {best:.2f}s "
+                  f"({1.0/best:.2f} proofs/s)", flush=True)
 
     return outer, timings
 
@@ -92,8 +121,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=12, help="log2 of inner gate count")
+    p.add_argument("--repeats", type=int, default=0,
+                   help="steady-state re-proves of the middle recursion layer")
     args = p.parse_args()
-    run_chain(args.size)
+    run_chain(args.size, repeats=args.repeats)
     print("bench_recursion chain verified")
 
 
