@@ -77,3 +77,36 @@ def ext2_mul(a0, a1, b0, b1, w: int = 7):
 
 def ext2_add(a0, a1, b0, b1):
     return add(a0, b0), add(a1, b1)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ dispatch: single-pass u128 kernels replace the multi-pass numpy
+# limb algebra for real arrays (scalar/0-d inputs keep the numpy path so
+# return types are unchanged). plonky2_tpu/native is bit-exact by test.
+# ---------------------------------------------------------------------------
+
+def _install_native():
+    try:
+        from plonky2_tpu import native
+    except Exception:
+        return
+    if not native.available:
+        return
+
+    g = globals()
+    np_add, np_sub, np_mul, np_neg, np_mul_scalar = add, sub, mul, neg, mul_scalar
+
+    def _arr(x):
+        return isinstance(x, np.ndarray) and x.ndim >= 1
+
+    g["add"] = lambda x, y: native.add(x, y) if _arr(x) or _arr(y) else np_add(x, y)
+    g["sub"] = lambda x, y: native.sub(x, y) if _arr(x) or _arr(y) else np_sub(x, y)
+    g["mul"] = lambda x, y: native.mul(x, y) if _arr(x) or _arr(y) else np_mul(x, y)
+    g["neg"] = lambda x: native.neg(x) if _arr(x) else np_neg(x)
+    g["mul_scalar"] = (
+        lambda x, c: native.mul_scalar(x, c) if _arr(x) else np_mul_scalar(x, c)
+    )
+    g["add_np"], g["sub_np"], g["mul_np"], g["neg_np"] = np_add, np_sub, np_mul, np_neg
+
+
+_install_native()

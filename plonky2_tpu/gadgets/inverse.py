@@ -27,6 +27,32 @@ class InverseGenerator(SimpleGenerator):
         v = witness.get_target(self.x)
         out_buffer.set_target(self.inv, fs.inverse(v))
 
+    @classmethod
+    def run_batch(cls, gens, witness):
+        import numpy as np
+
+        from plonky2_tpu import native
+        from plonky2_tpu.iop.generator import _reps
+
+        if not native.available:
+            return _run_once_all(gens, witness)
+        n = len(gens)
+        x = witness.get_reps(_reps(witness, (g.x for g in gens), n))
+        if (x == np.uint64(0)).any():
+            raise ZeroDivisionError("inverse of zero in Goldilocks field")
+        witness.set_reps(
+            _reps(witness, (g.inv for g in gens), n), native.batch_inverse(x))
+
+
+def _run_once_all(gens, witness):
+    from plonky2_tpu.iop.generator import GeneratedValues
+
+    buf = GeneratedValues()
+    for g in gens:
+        g.run_once(witness, buf)
+    for t, v in buf.target_values:
+        witness.set_target(t, v)
+
 
 def add_inverse(builder, x: Target) -> Target:
     inv = builder.add_virtual_target()
@@ -57,6 +83,25 @@ class EqualityGenerator(SimpleGenerator):
         else:
             out_buffer.set_target(self.equal, 0)
             out_buffer.set_target(self.inv_hint, fs.inverse(diff))
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        import numpy as np
+
+        from plonky2_tpu import native
+        from plonky2_tpu.field import np_field as npf
+        from plonky2_tpu.iop.generator import _reps
+
+        if not native.available:
+            return _run_once_all(gens, witness)
+        n = len(gens)
+        x = witness.get_reps(_reps(witness, (g.x for g in gens), n))
+        y = witness.get_reps(_reps(witness, (g.y for g in gens), n))
+        diff = npf.sub(x, y)
+        eq = (diff == np.uint64(0)).astype(np.uint64)
+        inv = native.batch_inverse(diff)  # zeros pass through as 0 = the hint
+        witness.set_reps(_reps(witness, (g.equal for g in gens), n), eq)
+        witness.set_reps(_reps(witness, (g.inv_hint for g in gens), n), inv)
 
 
 def is_equal(builder, x: Target, y: Target) -> BoolTarget:

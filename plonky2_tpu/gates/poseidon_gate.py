@@ -370,16 +370,26 @@ class PoseidonGenerator(SimpleGenerator):
         from plonky2_tpu.gates.ops import NumpyBaseOps
 
         n = len(gens)
-        rows = [g.row for g in gens]
+        rows = np.fromiter((g.row for g in gens), np.int64, n)
 
         def wreps(col):
-            return np.fromiter(
-                (witness.rep_index(Wire(r, col)) for r in rows), np.int64, n)
+            return witness.wire_reps(rows, col)
 
         getcol = lambda col: witness.get_reps(wreps(col))
         inputs = [getcol(PoseidonGate.wire_input(i)) for i in range(W)]
         swap = getcol(PoseidonGate.WIRE_SWAP)
         assert bool(((swap == 0) | (swap == 1)).all()), "swap must be 0 or 1"
+
+        from plonky2_tpu import native
+
+        if native.available:
+            # one C call fills every intermediate wire of every row
+            out_vals = native.poseidon_gate_witness(
+                np.stack(inputs, axis=1), swap)  # [n, 122]
+            out_cols = [t.column for t in gens[0].outputs()]  # same layout per row
+            all_reps = np.concatenate([wreps(c) for c in out_cols])
+            witness.set_reps(all_reps, out_vals.T.reshape(-1))
+            return
 
         write_cols: list[int] = []
         write_vals: list[np.ndarray] = []

@@ -41,6 +41,15 @@ def _rotl(v: np.ndarray, r: int) -> np.ndarray:
 
 def keccak_f(states: np.ndarray) -> np.ndarray:
     """keccak-f[1600] over [n, 25] u64 lane arrays (lane A[x+5y])."""
+    from plonky2_tpu import native
+
+    if native.available:
+        return native.keccak_f(states)
+    return keccak_f_np(states)
+
+
+def keccak_f_np(states: np.ndarray) -> np.ndarray:
+    """Numpy keccak-f (fallback + the native kernel's test oracle)."""
     A = [states[:, i].copy() for i in range(25)]
     for rnd in range(24):
         # theta

@@ -51,6 +51,15 @@ def _sbox(x: int) -> int:
 
 def permute(state: list[int] | tuple[int, ...]) -> list[int]:
     """One full 30-round Poseidon permutation over 12 canonical u64 ints."""
+    from plonky2_tpu import native
+
+    if native.available:
+        return [int(v) for v in native.poseidon_permute(np.asarray(state, np.uint64))]
+    return permute_py(state)
+
+
+def permute_py(state: list[int] | tuple[int, ...]) -> list[int]:
+    """Pure-python permutation (fallback + the native kernel's test oracle)."""
     s = list(state)
     rc = 0
     for rnd in range(N_ROUNDS):

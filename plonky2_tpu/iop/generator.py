@@ -136,6 +136,25 @@ class NonzeroTestGenerator(SimpleGenerator):
         v = witness.get_target(self.to_test)
         out_buffer.set_target(self.dummy, fs.inverse(v) if v != 0 else 1)
 
+    @classmethod
+    def run_batch(cls, gens, witness):
+        from plonky2_tpu import native
+
+        if not native.available:
+            buf = GeneratedValues()
+            for g in gens:
+                g.run_once(witness, buf)
+            for t, v in buf.target_values:
+                witness.set_target(t, v)
+            return
+        n = len(gens)
+        x = witness.get_reps(_reps(witness, (g.to_test for g in gens), n))
+        inv = native.batch_inverse(x)
+        witness.set_reps(
+            _reps(witness, (g.dummy for g in gens), n),
+            np.where(x == np.uint64(0), np.uint64(1), inv),
+        )
+
 
 def _reps(witness, targets, n) -> np.ndarray:
     return np.fromiter((witness.rep_index(t) for t in targets), np.int64, n)
@@ -178,21 +197,21 @@ class ArithmeticBaseGenerator(SimpleGenerator):
 
     @classmethod
     def run_batch(cls, gens, witness):
-        from plonky2_tpu.gates.arithmetic_base import ArithmeticGate
-        from plonky2_tpu.iop.target import Wire
-
         n = len(gens)
-        deps = [g.dependencies() for g in gens]
-        m0 = witness.get_reps(_reps(witness, (d[0] for d in deps), n))
-        m1 = witness.get_reps(_reps(witness, (d[1] for d in deps), n))
-        a = witness.get_reps(_reps(witness, (d[2] for d in deps), n))
+        rows = np.fromiter((g.row for g in gens), np.int64, n)
+        base = np.fromiter((4 * g.i for g in gens), np.int64, n)
+        m0 = witness.get_reps(witness.wire_reps(rows, base))
+        m1 = witness.get_reps(witness.wire_reps(rows, base + 1))
+        a = witness.get_reps(witness.wire_reps(rows, base + 2))
         c0 = np.fromiter((g.const_0 for g in gens), np.uint64, n)
         c1 = np.fromiter((g.const_1 for g in gens), np.uint64, n)
-        out = npf.add(npf.mul(c0, npf.mul(m0, m1)), npf.mul(c1, a))
-        out_reps = _reps(
-            witness,
-            (Wire(g.row, ArithmeticGate.wire_ith_output(g.i)) for g in gens), n)
-        witness.set_reps(out_reps, out)
+        from plonky2_tpu import native
+
+        if native.available:
+            out = native.arith(c0, c1, m0, m1, a)
+        else:
+            out = npf.add(npf.mul(c0, npf.mul(m0, m1)), npf.mul(c1, a))
+        witness.set_reps(witness.wire_reps(rows, base + 3), out)
 
 
 def _levelize(generators, witness) -> list[list[int]] | None:

@@ -53,9 +53,24 @@ class PartitionWitness:
         n = max(representative_map) + 1 if len(representative_map) else 0
         self.values = np.zeros(n, dtype=np.uint64)
         self.known = np.zeros(n, dtype=bool)
+        self._rep_np: np.ndarray | None = None
 
     def rep_index(self, target: Target) -> int:
         return self.representative_map[target_index(target, self.num_wires, self.degree)]
+
+    def rep_map_np(self) -> np.ndarray:
+        """representative_map as a numpy array (cached; the map is immutable
+        once the circuit is built)."""
+        if self._rep_np is None:
+            self._rep_np = np.asarray(self.representative_map, dtype=np.int64)
+        return self._rep_np
+
+    def wire_reps(self, rows, column) -> np.ndarray:
+        """Vectorized rep_index for Wire(row, column); rows and column may be
+        arrays (broadcast) or scalars."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(column, dtype=np.int64)
+        return self.rep_map_np()[rows * self.num_wires + cols]
 
     def try_get_target(self, target: Target):
         rep = self.rep_index(target)
