@@ -136,23 +136,27 @@ def batch_fri_proof(batch_trees: list, composition_coeffs: list, challenger,
     pow_witness = fri_proof_of_work(challenger, fri_params.config)
 
     indices = [c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)]
+    # Batched extraction: one gather pass per tree for ALL query rounds
+    # (mirrors fri/prover.py; per-index walks cost a tunnel RTT per access).
+    initial_opens = [t.open_batch_many(indices) for t in batch_trees]
+    step_opens = []
+    xs = indices
+    for i, tree in enumerate(trees):
+        xs = [x >> fri_params.reduction_arity_bits[i] for x in xs]
+        open_many = getattr(tree, "open_many", None)
+        step_opens.append(open_many(xs) if open_many is not None
+                          else [(tree.leaf(x), tree.prove(x)) for x in xs])
     rounds = []
-    for x_index in indices:
-        initial = FriInitialTreeProof(evals_proofs=[
-            ([v for row in t.values(x_index) for v in row], t.open_batch(x_index))
-            for t in batch_trees
-        ])
+    for qi in range(len(indices)):
+        initial = FriInitialTreeProof(
+            evals_proofs=[opens[qi] for opens in initial_opens])
         steps = []
-        xi = x_index
-        for i, tree in enumerate(trees):
-            ab = fri_params.reduction_arity_bits[i]
-            ci = xi >> ab
-            flat = tree.leaf(ci)
+        for i in range(len(trees)):
+            flat, proof = step_opens[i][qi]
             steps.append(FriQueryStep(
                 evals=[(flat[2 * k], flat[2 * k + 1]) for k in range(len(flat) // 2)],
-                merkle_proof=tree.prove(ci),
+                merkle_proof=proof,
             ))
-            xi = ci
         rounds.append(FriQueryRound(initial_trees_proof=initial, steps=steps))
 
     return FriProof(

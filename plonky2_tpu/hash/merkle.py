@@ -403,9 +403,11 @@ class BatchMerkleTree:
         assert all(heights[i] > heights[i + 1] for i in range(len(heights) - 1))
         assert cap_height <= heights[-1]
 
-        self.leaves = [_np.asarray(m) for m in mats]
+        self._mats_dev = mats
+        self._leaves_host: list | None = None
         self.leaf_heights = heights
-        self._level_layers: list[list] = []  # per segment: digest layers
+        self._layers_dev: list[list] = []  # per segment: digest layers (device)
+        self._level_layers_host: list[list] | None = None
 
         cap = hash_leaves_dev(mats[0])
         for k in range(len(mats)):
@@ -418,10 +420,26 @@ class BatchMerkleTree:
             while cur_height > next_height:
                 layers.append(compress_layer_dev(layers[-1]))
                 cur_height -= 1
-            self._level_layers.append([np.asarray(l) for l in layers])
+            self._layers_dev.append(layers)
             cap = layers[-1]
 
+        # only the cap is fetched eagerly (full layers cost seconds over the
+        # axon tunnel; queries use open_batch_many's single batched gather)
         self.cap = [[int(v) for v in row] for row in np.asarray(cap)]
+
+    @property
+    def leaves(self) -> list:
+        if self._leaves_host is None:
+            self._leaves_host = [np.asarray(m) for m in self._mats_dev]
+        return self._leaves_host
+
+    @property
+    def _level_layers(self) -> list[list]:
+        if self._level_layers_host is None:
+            self._level_layers_host = [
+                [np.asarray(l) for l in layers] for layers in self._layers_dev
+            ]
+        return self._level_layers_host
 
     def values(self, leaf_index: int) -> list[list[int]]:
         top = self.leaf_heights[0]
@@ -439,6 +457,39 @@ class BatchMerkleTree:
                 siblings.append([int(v) for v in layer[idx ^ 1]])
                 idx >>= 1
         return MerkleProof(siblings)
+
+    def open_batch_many(self, indices: list[int]):
+        """Batched (values, proof) extraction for all queries: one device
+        gather per matrix plus ONE stacked gather+fetch for every sibling
+        level (per-index host walks cost a tunnel round-trip per access)."""
+        top = self.leaf_heights[0]
+        q = len(indices)
+
+        val_dev = []
+        for m_dev, h in zip(self._mats_dev, self.leaf_heights):
+            idx = jnp.asarray(
+                np.asarray([i >> (top - h) for i in indices], np.int32))
+            val_dev.append(jnp.take(m_dev, idx, axis=0))
+
+        sib_dev = []
+        for k, layers in enumerate(self._layers_dev):
+            idxs = [i >> (top - self.leaf_heights[k]) for i in indices]
+            for layer in layers[:-1]:
+                sidx = jnp.asarray(
+                    np.asarray([ix ^ 1 for ix in idxs], np.int32))
+                sib_dev.append(jnp.take(layer, sidx, axis=0))
+                idxs = [ix >> 1 for ix in idxs]
+        sibs = (np.asarray(jnp.stack(sib_dev, axis=1)) if sib_dev
+                else np.zeros((q, 0, 4), np.uint64))  # [q, levels, 4]
+        vals = [np.asarray(v) for v in val_dev]
+
+        out = []
+        for qi in range(q):
+            flat = [int(v) for m in vals for v in m[qi]]
+            proof = MerkleProof(
+                [[int(v) for v in sibs[qi, l]] for l in range(sibs.shape[1])])
+            out.append((flat, proof))
+        return out
 
 
 def verify_batch_merkle_proof_to_cap(leaf_data: list, leaf_heights: list,
