@@ -34,7 +34,12 @@ jax.config.update("jax_enable_x64", True)
 _cache_dir = os.environ.get(
     "PLONKY2_TPU_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "plonky2_tpu_xla"))
-if _cache_dir != "0" and os.environ.get("JAX_PLATFORMS", "axon") not in ("cpu",):
+# The platform may be selected either by env var or by a pre-import
+# jax.config.update("jax_platforms", "cpu") (the only way to override the
+# site-forced env here) — honor both.
+_platforms = (getattr(jax.config, "jax_platforms", None)
+              or os.environ.get("JAX_PLATFORMS", "axon"))
+if _cache_dir != "0" and _platforms not in ("cpu",):
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
