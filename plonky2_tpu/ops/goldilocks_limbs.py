@@ -55,9 +55,11 @@ def sub64(alo, ahi, blo, bhi):
 
 def canonicalize(lo, hi):
     """One conditional subtraction of p. x >= p iff hi == 2^32-1 and lo != 0
-    (p's limbs are (1, 0xffffffff)), valid for any x < 2p."""
-    ge = (hi == EPS32) & (lo != ZERO)
-    return jnp.where(ge, lo - ONE, lo), jnp.where(ge, ZERO, hi)
+    (p's limbs are (1, 0xffffffff)), valid for any x < 2p. Select-free:
+    subtracting p is lo -= 1 and hi += 1 (0xffffffff wraps to 0) exactly
+    when the condition fires."""
+    ge = _b2u((hi == EPS32) & (lo != ZERO))
+    return lo - ge, hi + ge
 
 
 def gl_add(alo, ahi, blo, bhi):

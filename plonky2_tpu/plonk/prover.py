@@ -553,7 +553,6 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
 
 
 @jax.jit
-@jax.jit
 def _eval_polys_at(coeffs, z):
     """Evaluate [J, n] base-coeff polys at the ext point z = (z0, z1).
 
