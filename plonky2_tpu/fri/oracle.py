@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.util.export_cache import persistent_jit
 from plonky2_tpu.field import ntt
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.fri.prover import fri_proof
@@ -35,7 +36,7 @@ def _algebraic(hasher) -> bool:
         hasher, "algebraic", False)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@persistent_jit(static_argnums=(1, 2))
 def _values_to_lde_leaves(values, rate_bits, salt_size):
     """[num_polys, n] values -> (coeffs, lde [num_polys, N], leaves [N, num_polys])."""
     coeffs = ntt.ifft(values)
@@ -43,7 +44,7 @@ def _values_to_lde_leaves(values, rate_bits, salt_size):
     return coeffs, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1,))
+@persistent_jit(static_argnums=(1,))
 def _coeffs_to_lde_leaves(coeffs, rate_bits):
     return _coeffs_to_lde_leaves_impl(coeffs, rate_bits)
 
@@ -56,13 +57,13 @@ def _coeffs_to_lde_leaves_impl(coeffs, rate_bits):
     return lde, jnp.take(leaves, jnp.asarray(ntt.bit_reverse_perm(lg)), axis=0)
 
 
-@partial(jax.jit, static_argnums=(1,))
+@persistent_jit(static_argnums=(1,))
 def _values_to_lde(values, rate_bits):
     coeffs = ntt.ifft(values)
     return coeffs, ntt.coset_lde(coeffs, rate_bits)
 
 
-@partial(jax.jit, static_argnums=(1,))
+@persistent_jit(static_argnums=(1,))
 def _coeffs_to_lde(coeffs, rate_bits):
     return ntt.coset_lde(coeffs, rate_bits)
 
@@ -194,7 +195,7 @@ def _ext2_scalar_mul_arr(c, a):
     return g.ext2_mul(c, a)
 
 
-@partial(jax.jit, static_argnums=(3,))
+@persistent_jit(static_argnums=(3,))
 def _batch_quotient(polys, alpha, point, rate_bits):
     """Quotient (F(X) - F(z)) / (X - z) for F = sum_j alpha^j f_j.
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.util.export_cache import persistent_jit
 from plonky2_tpu.field import ntt
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.fri.proof import (
@@ -57,7 +58,7 @@ def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@persistent_jit(static_argnums=(1, 2))
 def _fold_step_leaves(values, arity_bits, lg_len):
     """Bit-reverse values, chunk into arity cosets, flatten ext -> leaves."""
     v0, v1 = values
@@ -70,7 +71,7 @@ def _fold_step_leaves(values, arity_bits, lg_len):
     return jnp.stack([v0, v1], axis=-1).reshape(L // arity, 2 * arity)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@persistent_jit(static_argnums=(2, 3))
 def _fold_coeffs_and_relde(coeffs, beta, arity_bits, rate_bits_shift):
     """Fold coeffs by beta per arity chunk; re-LDE on the next coset.
 
@@ -131,7 +132,7 @@ def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
     return trees, final_poly
 
 
-@partial(jax.jit, static_argnums=(1,))
+@persistent_jit(static_argnums=(1,))
 def _initial_lde(coeffs, rate_bits):
     shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
     return (ntt.lde_fft(coeffs[0], rate_bits, shift=shift),
@@ -143,7 +144,7 @@ def _initial_lde(coeffs, rate_bits):
 _GRIND_CHUNK = 1 << 17
 
 
-@partial(jax.jit, static_argnums=(3,))
+@persistent_jit(static_argnums=(3,))
 def _grind_chunk(intermediate, witness_pos, start, pow_bits):
     """Search candidates [start, start+CHUNK) for pow_bits leading zeros in the
     duplexed response. Returns (found_any, first_candidate)."""

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from plonky2_tpu.field import goldilocks as g
+from plonky2_tpu.util.export_cache import persistent_jit
 from plonky2_tpu.hash import poseidon as ps
 from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE, SPONGE_WIDTH
 from plonky2_tpu.util import reverse_bits
@@ -113,7 +114,7 @@ def compress_halves_dev(digests: jax.Array) -> jax.Array:
     return ps.permute_dev_sm(state)[:4]
 
 
-@partial(jax.jit, static_argnums=1)
+@persistent_jit(static_argnums=(1,))
 def _build_natural_jit(cols, cap_height):
     n = cols.shape[1]
     lg_n = n.bit_length() - 1
@@ -203,12 +204,12 @@ class MerkleTree:
         ]
 
 
-@partial(jax.jit, static_argnums=1)
+@persistent_jit(static_argnums=(1,))
 def _build_jit(leaves, cap_height):
     return merkle_layers_dev(leaves, cap_height)
 
 
-@jax.jit
+@persistent_jit
 def _gather_openings_rows(leaves, layers, leaf_idx, sib_idx):
     """Row-major gather: leaves [n, width] rows at leaf_idx [q]; per level k
     digests layers[k] [m, 4] at sib_idx [q, levels] -> sibs [q, levels, 4]."""
@@ -219,7 +220,7 @@ def _gather_openings_rows(leaves, layers, leaf_idx, sib_idx):
                         else jnp.zeros((leaf_idx.shape[0], 0, 4), jnp.uint64))
 
 
-@jax.jit
+@persistent_jit
 def _gather_openings_cols(cols, layers, leaf_idx, sib_idx):
     """Column-major gather: cols [width, n] at leaf_idx [q]; per level k
     digests layers[k] [4, m] at sib_idx [q, levels] -> sibs [q, levels, 4]."""

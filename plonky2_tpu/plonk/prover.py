@@ -34,6 +34,7 @@ from plonky2_tpu.hash import poseidon as ps
 from plonky2_tpu.iop.challenger import Challenger
 from plonky2_tpu.iop.generator import generate_partial_witness
 from plonky2_tpu.plonk import config as pcfg
+from plonky2_tpu.util.export_cache import persistent_jit
 from plonky2_tpu.plonk.proof import OpeningSet, Proof, ProofWithPublicInputs
 from plonky2_tpu.plonk.vanishing_poly import (
     NUM_COINS_LOOKUP,
@@ -286,7 +287,7 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
 # -- round 2: permutation partial products & Z polynomials -------------------
 
 
-@partial(jax.jit, static_argnums=(5,))
+@persistent_jit(static_argnums=(5,))
 def _round2_one_challenge(wires_routed, sigmas, k_is, subgroup, beta_gamma, qdf):
     """Per-row quotients -> chunk products -> modular prefix scans.
 
@@ -481,7 +482,33 @@ def _make_quotient_fn(common):
         coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
         return coeffs.reshape(-1, n)  # [nc*qdf, n]: chunks t_0..t_{qdf-1} per challenge
 
-    return jax.jit(f)
+    return persistent_jit(f, name="plonk.prover.quotient")
+
+
+def _common_pj_key(common) -> str:
+    """Stable digest of everything the quotient program closes over —
+    distinguishes same-shaped programs of different circuits in the
+    persistent export cache."""
+    key = getattr(common, "_pj_key", None)
+    if key is None:
+        import hashlib
+
+        si = common.selectors_info
+        parts = (
+            common.degree, common.quotient_degree_factor, common.num_constants,
+            common.config.num_routed_wires, common.config.num_challenges,
+            common.num_partial_products, common.num_lookup_polys,
+            common.num_lookup_selectors, tuple(common.k_is),
+            tuple(si.selector_indices), tuple(map(tuple, si.groups)),
+            tuple(gate.id() for gate in common.gates),
+            tuple(tuple(lut) for lut in getattr(common, "luts", ()) or ()),
+        )
+        key = hashlib.sha256(repr(parts).encode()).hexdigest()[:16]
+        try:
+            common._pj_key = key
+        except Exception:
+            pass
+    return key
 
 
 def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
@@ -546,13 +573,14 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
         shard_lanes(jnp.asarray(xs)), shard_lanes(jnp.asarray(z_h)),
         shard_lanes(jnp.asarray(z_h_inv)),
+        _pj_key=_common_pj_key(common),
     )
 
 
 # -- openings ----------------------------------------------------------------
 
 
-@jax.jit
+@persistent_jit
 def _eval_polys_at(coeffs, z):
     """Evaluate [J, n] base-coeff polys at the ext point z = (z0, z1).
 

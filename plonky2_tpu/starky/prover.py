@@ -263,7 +263,25 @@ def _make_quotient_fn(stark, config, degree_bits: int, ctl_data=None,
         coeffs = ntt.coset_ifft(quotient_values)  # [nc, Q]
         return coeffs.reshape(-1, n)  # [nc*qdf, n]
 
-    return jax.jit(f), qd_bits
+    from plonky2_tpu.util.export_cache import persistent_jit
+
+    return persistent_jit(f, name="starky.prover.quotient"), qd_bits
+
+
+def _stark_pj_key(stark, config, degree_bits, ctl_data, num_lookup_columns):
+    """Persistent-export-cache key for the STARK quotient closure, or None
+    (bypass persistence) when the AIR's parameters have no stable repr."""
+    import hashlib
+
+    parts = repr((
+        f"{type(stark).__module__}.{type(stark).__qualname__}",
+        sorted(vars(stark).items(), key=lambda kv: kv[0]) if vars(stark) else (),
+        repr(config), degree_bits, num_lookup_columns,
+        repr(ctl_data) if ctl_data is not None else "",
+    ))
+    if " at 0x" in parts:  # address-bearing repr: unstable across processes
+        return None
+    return hashlib.sha256(parts.encode()).hexdigest()[:16]
 
 
 def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
@@ -326,6 +344,8 @@ def _compute_quotient_polys(stark, config, trace_commitment, public_inputs,
         jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
         jnp.asarray(xs), jnp.asarray(z_h_inv),
         sel_lde[0], sel_lde[1], z_last,
+        _pj_key=_stark_pj_key(stark, config, degree_bits, ctl_data,
+                              num_lookup_columns),
     )
 
 
