@@ -51,6 +51,20 @@ class ArithmeticGate(Gate):
             constraints.append(ops.sub(output, computed))
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: all num_ops constraints in one batched op set."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_ops
+        take = lambda off: jnp.take(
+            wires, jnp.asarray(np.arange(off, 4 * n, 4, dtype=np.int32)), axis=0)
+        computed = g.add(g.mul(g.mul(take(0), take(1)), constants[0][None]),
+                         g.mul(take(2), constants[1][None]))
+        return g.sub(take(3), computed)
+
     def generators(self, row: int, local_constants: list[int]) -> list:
         from plonky2_tpu.iop.generator import ArithmeticBaseGenerator
 

@@ -62,6 +62,29 @@ class ArithmeticExtensionGate(Gate):
             constraints.extend(ealg_sub(ops, output, computed))
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: the num_ops constraints are independent — one batched
+        ext2 mul over a leading [num_ops] axis (same values/order)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_ops
+        take = lambda off: jnp.take(
+            wires, jnp.asarray(np.arange(off, 4 * D * n, 4 * D, dtype=np.int32)),
+            axis=0)
+        m0 = (take(0), take(1))
+        m1 = (take(2), take(3))
+        ad = (take(4), take(5))
+        out = (take(6), take(7))
+        p = g.ext2_mul(m0, m1)
+        c0, c1 = constants[0][None], constants[1][None]
+        r0 = g.add(g.mul(c0, p[0]), g.mul(c1, ad[0]))
+        r1 = g.add(g.mul(c0, p[1]), g.mul(c1, ad[1]))
+        return jnp.stack([g.sub(out[0], r0), g.sub(out[1], r1)], axis=1).reshape(
+            D * n, wires.shape[-1])
+
     def generators(self, row: int, local_constants) -> list:
         return [
             ArithmeticExtensionGenerator(row, local_constants[0], local_constants[1], i)
@@ -157,6 +180,23 @@ class MulExtensionGate(Gate):
             computed = ealg_scalar_mul(ops, const_0, ealg_mul(ops, m0, m1))
             constraints.extend(ealg_sub(ops, output, computed))
         return constraints
+
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized (see ArithmeticExtensionGate.eval_unfiltered_device)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_ops
+        take = lambda off: jnp.take(
+            wires, jnp.asarray(np.arange(off, 3 * D * n, 3 * D, dtype=np.int32)),
+            axis=0)
+        p = g.ext2_mul((take(0), take(1)), (take(2), take(3)))
+        c0 = constants[0][None]
+        r0, r1 = g.mul(c0, p[0]), g.mul(c0, p[1])
+        return jnp.stack([g.sub(take(4), r0), g.sub(take(5), r1)], axis=1).reshape(
+            D * n, wires.shape[-1])
 
     def generators(self, row: int, local_constants) -> list:
         return [

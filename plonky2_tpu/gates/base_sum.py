@@ -49,6 +49,24 @@ class BaseSumGate(Gate):
             constraints.append(acc)
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: weighted sum as one modular dot product, range checks
+        batched over the [num_limbs] axis (same values/order)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+        from plonky2_tpu.field import scalar as fs
+
+        limbs = wires[self.START_LIMBS:self.START_LIMBS + self.num_limbs]
+        pows = jnp.asarray(g.np_powers(self.base % fs.P, self.num_limbs))
+        computed = g.sum_mod(g.mul(pows[:, None], limbs), axis=0)
+        sum_c = g.sub(computed, wires[self.WIRE_SUM])
+        acc = limbs
+        for i in range(1, self.base):
+            acc = g.mul(acc, g.sub(limbs, jnp.asarray(np.uint64(i % fs.P))))
+        return jnp.concatenate([sum_c[None], acc], axis=0)
+
     def generators(self, row: int, local_constants) -> list:
         return [BaseSplitGenerator(row, self.num_limbs, self.base)]
 

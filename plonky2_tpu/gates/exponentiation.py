@@ -53,6 +53,28 @@ class ExponentiationGate(Gate):
         constraints.append(ops.sub(output, intermediates[self.num_power_bits - 1]))
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: each step's `prev` reads the previous intermediate
+        from witness wires, so the num_power_bits constraints are independent
+        (same values/order as eval_unfiltered)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_power_bits
+        base = wires[self.wire_base()][None]  # [1, Q]
+        bits_rev = wires[1:1 + n][::-1]  # bit for step i is power_bit[n-1-i]
+        interm = wires[2 + n:2 + 2 * n]  # [n, Q]
+        one = jnp.ones((), dtype=jnp.uint64)
+        prev = jnp.concatenate(
+            [jnp.ones((1, wires.shape[-1]), dtype=jnp.uint64),
+             g.mul(interm[:-1], interm[:-1])])
+        mult = g.add(g.mul(bits_rev, base), g.sub(one, bits_rev))
+        steps = g.sub(g.mul(prev, mult), interm)
+        last = g.sub(wires[self.wire_output()], interm[-1])
+        return jnp.concatenate([steps, last[None]], axis=0)
+
     def generators(self, row: int, local_constants) -> list:
         return [ExponentiationGenerator(row, self.num_power_bits)]
 

@@ -242,6 +242,7 @@ class PoseidonGate(Gate):
         mat-vecs), so the XLA graph stays small. Constraint order matches
         eval_unfiltered exactly."""
         import numpy as np
+        import jax
         import jax.numpy as jnp
 
         from plonky2_tpu.field import goldilocks as g
@@ -285,16 +286,26 @@ class PoseidonGate(Gate):
 
         state = g.add(state, _DEV_TABLES["partial_first_consts"][:, None])
         state = g.matmul_mod(p_init, state)
-        for r in range(N_PARTIAL_ROUNDS):
-            sbox_in = wires[cls.START_PARTIAL + r]  # [Q]
-            constraints.append(g.sub(state[0], sbox_in)[None])
-            s0 = sbox(sbox_in)
-            if r < N_PARTIAL_ROUNDS - 1:
-                s0 = g.add(s0, jnp.asarray(np.uint64(FAST_PARTIAL_ROUND_CONSTANTS[r])))
-            full0 = jnp.concatenate([s0[None], state[1:]])
-            d = g.sum_mod(g.mul(w_hat_rows[r][:, None], full0), axis=0)  # [Q]
-            rest = g.add(state[1:], g.mul(vs_rows[r][:, None], s0[None]))
-            state = jnp.concatenate([d[None], rest])
+        # one lax.scan over the 22 partial rounds: the body traces once
+        # (22x fewer primitives than unrolling; same values/order)
+        sbox_ins = wires[cls.START_PARTIAL:cls.START_PARTIAL + N_PARTIAL_ROUNDS]
+        rcs = np.asarray(FAST_PARTIAL_ROUND_CONSTANTS[:N_PARTIAL_ROUNDS],
+                         dtype=np.uint64).copy()
+        rcs[N_PARTIAL_ROUNDS - 1] = 0  # last round adds no constant
+
+        def pstep(st, xs):
+            sbox_in, w_hat, vs, rc = xs
+            c = g.sub(st[0], sbox_in)
+            s0 = g.add(sbox(sbox_in), rc)
+            full0 = jnp.concatenate([s0[None], st[1:]])
+            d = g.sum_mod(g.mul(w_hat[:, None], full0), axis=0)  # [Q]
+            rest = g.add(st[1:], g.mul(vs[:, None], s0[None]))
+            return jnp.concatenate([d[None], rest]), c
+
+        state, pcs = jax.lax.scan(
+            pstep, state,
+            (sbox_ins, w_hat_rows, vs_rows, jnp.asarray(rcs)))
+        constraints.append(pcs)  # [22, Q], round order
         round_ctr += N_PARTIAL_ROUNDS
 
         for r in range(HALF_N_FULL_ROUNDS):

@@ -50,6 +50,28 @@ class PoseidonMdsGate(Gate):
             constraints.extend(ealg_sub(ops, computed, out))
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: the MDS layer acts on each extension component
+        independently (base-field coefficients), so both components go
+        through one [W, W] modular mat-vec (same values/order)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+        from plonky2_tpu.field import scalar as fs
+
+        m = np.empty((W, W), dtype=np.uint64)
+        for r in range(W):
+            for j in range(W):
+                m[r, j] = MDS_MATRIX_CIRC[(j - r) % W] % fs.P
+            m[r, r] = (int(m[r, r]) + MDS_MATRIX_DIAG[r]) % fs.P
+        comp = wires[:W * D].reshape(W, D, wires.shape[-1])
+        outs = wires[W * D:2 * W * D].reshape(W, D, wires.shape[-1])
+        # matmul_mod is [W, c] x [c, Q]; run each extension component through it
+        computed = jnp.stack(
+            [g.matmul_mod(jnp.asarray(m), comp[:, k]) for k in range(D)], axis=1)
+        return g.sub(computed, outs).reshape(W * D, wires.shape[-1])
+
     def generators(self, row: int, local_constants) -> list:
         return [PoseidonMdsGenerator(row)]
 

@@ -95,6 +95,47 @@ class RandomAccessGate(Gate):
             )
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized over the [num_copies] axis; the bit-select tree runs
+        once on [copies, vec, Q] (same values/order as eval_unfiltered)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        C, B, V = self.num_copies, self.bits, self.vec_size()
+        Q = wires.shape[-1]
+        take = lambda rows: jnp.take(
+            wires, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+        idx = take([self.wire_access_index(c) for c in range(C)])  # [C, Q]
+        claimed = take([self.wire_claimed_element(c) for c in range(C)])
+        items = take([self.wire_list_item(i, c)
+                      for c in range(C) for i in range(V)]).reshape(C, V, Q)
+        bits = take([self.wire_bit(i, c)
+                     for c in range(C) for i in range(B)]).reshape(C, B, Q)
+
+        one = jnp.ones((), dtype=jnp.uint64)
+        bit_checks = g.mul(bits, g.sub(bits, one))  # [C, B, Q]
+
+        recon = jnp.zeros((C, Q), dtype=jnp.uint64)
+        for i in range(B - 1, -1, -1):
+            recon = g.add(g.add(recon, recon), bits[:, i])
+        recon_c = g.sub(recon, idx)[:, None]  # [C, 1, Q]
+
+        sel = items
+        for i in range(B):
+            x, y = sel[:, ::2], sel[:, 1::2]
+            sel = g.add(x, g.mul(bits[:, i:i + 1], g.sub(y, x)))
+        sel_c = g.sub(sel[:, 0], claimed)[:, None]  # [C, 1, Q]
+
+        per_copy = jnp.concatenate([bit_checks, recon_c, sel_c], axis=1)
+        out = [per_copy.reshape(C * (B + 2), Q)]
+        if self.num_extra_constants:
+            extras = take([self.wire_extra_constant(i)
+                           for i in range(self.num_extra_constants)])
+            out.append(g.sub(constants[:self.num_extra_constants], extras))
+        return jnp.concatenate(out, axis=0)
+
     def generators(self, row: int, local_constants) -> list:
         return [
             RandomAccessGenerator(row, self.bits, self.num_copies,

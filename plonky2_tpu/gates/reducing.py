@@ -69,6 +69,30 @@ class ReducingGate(Gate):
             acc = accs[i]
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: each Horner step reads its accumulator from witness
+        wires, so the num_coeffs constraints are independent — one batched
+        ext2 mul over a leading [num_coeffs] axis instead of an unrolled
+        chain (same values/order as eval_unfiltered)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_coeffs
+        sa = self._start_accs()
+        take = lambda rows: jnp.take(
+            wires, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+        prev0 = take([2 * D] + [sa + D * i for i in range(n - 1)])
+        prev1 = take([2 * D + 1] + [sa + D * i + 1 for i in range(n - 1)])
+        out0 = take([sa + D * i for i in range(n - 1)] + [0])
+        out1 = take([sa + D * i + 1 for i in range(n - 1)] + [1])
+        coeffs = take(list(self.wires_coeffs()))
+        c0, c1 = g.ext2_mul((prev0, prev1), (wires[D][None], wires[D + 1][None]))
+        c0 = g.add(c0, coeffs)
+        return jnp.stack([g.sub(c0, out0), g.sub(c1, out1)], axis=1).reshape(
+            D * n, wires.shape[-1])
+
     def generators(self, row: int, local_constants) -> list:
         return [ReducingGenerator(row, self.num_coeffs)]
 
@@ -163,6 +187,29 @@ class ReducingExtensionGate(Gate):
             constraints.extend(ealg_sub(ops, computed, accs[i]))
             acc = accs[i]
         return constraints
+
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized (see ReducingGate.eval_unfiltered_device)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        n = self.num_coeffs
+        sa = self._start_accs()
+        sc = self.START_COEFFS
+        take = lambda rows: jnp.take(
+            wires, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+        prev0 = take([2 * D] + [sa + D * i for i in range(n - 1)])
+        prev1 = take([2 * D + 1] + [sa + D * i + 1 for i in range(n - 1)])
+        out0 = take([sa + D * i for i in range(n - 1)] + [0])
+        out1 = take([sa + D * i + 1 for i in range(n - 1)] + [1])
+        co0 = take([sc + D * i for i in range(n)])
+        co1 = take([sc + D * i + 1 for i in range(n)])
+        c0, c1 = g.ext2_mul((prev0, prev1), (wires[D][None], wires[D + 1][None]))
+        c0, c1 = g.add(c0, co0), g.add(c1, co1)
+        return jnp.stack([g.sub(c0, out0), g.sub(c1, out1)], axis=1).reshape(
+            D * n, wires.shape[-1])
 
     def generators(self, row: int, local_constants) -> list:
         return [ReducingExtensionGenerator(row, self.num_coeffs)]
