@@ -169,6 +169,94 @@ class CosetInterpolationGate(Gate):
         constraints.extend(ealg_sub(ops, evaluation_value, ev))
         return constraints
 
+    def eval_unfiltered_device(self, wires, constants, public_inputs_hash):
+        """Tensorized: every chunk's running (eval, prod) pair restarts from
+        witness intermediate wires, so the nI+1 chunks are independent — they
+        run in parallel along a leading chunk axis, with ragged chunk lengths
+        padded by identity steps (term=1, w·v=0). Same values and constraint
+        order as eval_unfiltered."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from plonky2_tpu.field import goldilocks as g
+
+        N = self.num_points()
+        deg = self._degree
+        nI = self.num_intermediates()
+        C = nI + 1
+        Q = wires.shape[-1]
+        domain = fs.two_adic_subgroup(self.subgroup_bits)
+        weights = self.barycentric_weights
+
+        chunks = [list(range(deg))]
+        for j in range(1, C):
+            start = 1 + (deg - 1) * j
+            chunks.append(list(range(start, min(start + deg - 1, N))))
+        L = max(len(c) for c in chunks)
+        idx = np.zeros((L, C), np.int32)
+        valid = np.zeros((L, C), bool)
+        xi = np.zeros((L, C), np.uint64)
+        wt = np.zeros((L, C), np.uint64)
+        for j, ch in enumerate(chunks):
+            for t, k in enumerate(ch):
+                idx[t, j], valid[t, j] = k, True
+                xi[t, j], wt[t, j] = domain[k], weights[k]
+
+        take = lambda rows: jnp.take(
+            wires, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+        sv = self._start_values()
+        v0 = take([sv + k * D for k in range(N)])  # [N, Q]
+        v1 = take([sv + k * D + 1 for k in range(N)])
+        flat = jnp.asarray(idx.reshape(-1))
+        v0s = jnp.take(v0, flat, axis=0).reshape(L, C, Q)
+        v1s = jnp.take(v1, flat, axis=0).reshape(L, C, Q)
+
+        sep = list(self.wires_shifted_evaluation_point())
+        x = (wires[sep[0]][None], wires[sep[1]][None])  # ext point, [1, Q]
+
+        zero = jnp.zeros((1, Q), dtype=jnp.uint64)
+        one = jnp.ones((1, Q), dtype=jnp.uint64)
+        if nI:
+            ie0 = take([self.wires_intermediate_eval(i)[0] for i in range(nI)])
+            ie1 = take([self.wires_intermediate_eval(i)[1] for i in range(nI)])
+            ip0 = take([self.wires_intermediate_prod(i)[0] for i in range(nI)])
+            ip1 = take([self.wires_intermediate_prod(i)[1] for i in range(nI)])
+            ev = (jnp.concatenate([zero, ie0]), jnp.concatenate([zero, ie1]))
+            prod = (jnp.concatenate([one, ip0]), jnp.concatenate([zero, ip1]))
+        else:
+            ev, prod = (zero, zero), (one, zero)
+
+        xiJ, wtJ = jnp.asarray(xi), jnp.asarray(wt)
+        for t in range(L):
+            term0 = g.sub(jnp.broadcast_to(x[0], (C, Q)), xiJ[t][:, None])
+            term1 = jnp.broadcast_to(x[1], (C, Q))
+            wv0 = g.mul(wtJ[t][:, None], v0s[t])
+            wv1 = g.mul(wtJ[t][:, None], v1s[t])
+            if not valid[t].all():  # identity-pad the ragged tail
+                m = jnp.asarray(valid[t])[:, None]
+                u0, u1 = jnp.uint64(0), jnp.uint64(1)
+                term0 = jnp.where(m, term0, u1)
+                term1 = jnp.where(m, term1, u0)
+                wv0 = jnp.where(m, wv0, u0)
+                wv1 = jnp.where(m, wv1, u0)
+            term = (term0, term1)
+            ev = g.ext2_add(g.ext2_mul(ev, term), g.ext2_mul((wv0, wv1), prod))
+            prod = g.ext2_mul(prod, term)
+
+        shift = wires[self.wire_shift()]
+        ep = list(self.wires_evaluation_point())
+        rows = [g.sub(wires[ep[0]], g.mul(shift, wires[sep[0]]))[None],
+                g.sub(wires[ep[1]], g.mul(shift, wires[sep[1]]))[None]]
+        if nI:
+            block = jnp.stack(
+                [g.sub(ie0, ev[0][:nI]), g.sub(ie1, ev[1][:nI]),
+                 g.sub(ip0, prod[0][:nI]), g.sub(ip1, prod[1][:nI])], axis=1)
+            rows.append(block.reshape(4 * nI, Q))
+        evv = list(self.wires_evaluation_value())
+        rows += [g.sub(wires[evv[0]], ev[0][nI])[None],
+                 g.sub(wires[evv[1]], ev[1][nI])[None]]
+        return jnp.concatenate(rows, axis=0)
+
     def generators(self, row: int, local_constants) -> list:
         return [InterpolationGenerator(row, self.subgroup_bits, self._degree)]
 

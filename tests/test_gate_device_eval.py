@@ -13,6 +13,7 @@ from plonky2_tpu.gates.arithmetic_extension import (
     MulExtensionGate,
 )
 from plonky2_tpu.gates.base_sum import BaseSumGate
+from plonky2_tpu.gates.coset_interpolation import CosetInterpolationGate
 from plonky2_tpu.gates.exponentiation import ExponentiationGate
 from plonky2_tpu.gates.poseidon_mds import PoseidonMdsGate
 from plonky2_tpu.gates.poseidon_gate import PoseidonGate
@@ -46,6 +47,11 @@ def _check(gate, num_constants=0):
     (ReducingExtensionGate(1), 0),
     (RandomAccessGate(4, 4, 2), 2),
     (RandomAccessGate(2, 10, 0), 0),
+    (CosetInterpolationGate(2), 0),
+    (CosetInterpolationGate(4, 8), 0),
+    (CosetInterpolationGate(4, 6), 0),
+    (CosetInterpolationGate(4, 2), 0),
+    (CosetInterpolationGate(3, 4), 0),
     (ExponentiationGate(17), 0),
     (ExponentiationGate(1), 0),
     (PoseidonMdsGate(), 0),
