@@ -142,6 +142,39 @@ def reduce128(w0, w1, w2, w3):
     return canonicalize(t2lo2, t2hi2)
 
 
+def gl_mul_pow2(lo, hi, e):
+    """x * 2^e mod p on limb planes; e is a u32 exponent plane in [0, 192).
+
+    2 generates the order-192 cyclic subgroup (2^96 ≡ -1, 2^192 ≡ 1 mod p),
+    and every 64th root of unity is a power of 8 — so ALL twiddles of NTT
+    stages s <= 6 are powers of two and their multiplies collapse to this:
+    a variable 64->160-bit left shift (no 32x32 products) + reduction.
+    2^128 ≡ -2^32 mod p handles the fifth limb.
+    """
+    neg = e >= np.uint32(96)
+    e2 = jnp.where(neg, e - np.uint32(96), e)
+    q = e2 >> np.uint32(5)  # word shift, 0..2
+    r = e2 & np.uint32(31)  # bit shift
+    inv31 = np.uint32(31) - r
+    # (x << r) as three 32-bit words; lo >> (32-r) via (>> (31-r)) >> 1 so
+    # r = 0 stays well-defined
+    w0 = lo << r
+    w1 = (hi << r) | ((lo >> inv31) >> ONE)
+    w2 = (hi >> inv31) >> ONE
+    q0 = q == ZERO
+    q1 = q == ONE
+    Z = jnp.zeros_like(w0)
+    W0 = jnp.where(q0, w0, Z)
+    W1 = jnp.where(q0, w1, jnp.where(q1, w0, Z))
+    W2 = jnp.where(q0, w2, jnp.where(q1, w1, w0))
+    W3 = jnp.where(q0, Z, jnp.where(q1, w2, w1))
+    W4 = jnp.where(q0 | q1, Z, w2)
+    rlo, rhi = reduce128(W0, W1, W2, W3)
+    rlo, rhi = gl_sub(rlo, rhi, Z, W4)  # W4·2^128 ≡ -(0, W4)
+    nlo, nhi = gl_sub(Z, Z, rlo, rhi)  # e >= 96: negate (2^96 ≡ -1)
+    return jnp.where(neg, nlo, rlo), jnp.where(neg, nhi, rhi)
+
+
 def gl_mul_g4(lo, hi):
     """x * 2^48 mod p on limb planes (canonical in/out).
 

@@ -30,6 +30,7 @@ from plonky2_tpu.ops.goldilocks_limbs import (
     gl_add,
     gl_mul,
     gl_mul_g4,
+    gl_mul_pow2,
     gl_sub,
     join_planes,
     split_planes,
@@ -45,6 +46,11 @@ _MIN_LG = 9
 _MAX_LG = 11
 # "auto": on when running on real TPU; "1": always (native); "0": never.
 _FLAG = os.environ.get("PLONKY2_TPU_PALLAS", "auto")
+# Stages 1..6 twiddles are powers of two (2 has order 192 mod p; the order-64
+# subgroup = <8>), so their multiplies run as variable shifts + reduction
+# (gl_mul_pow2) instead of 16 32x32 products. "0" disables.
+_CHEAP_MAX = 6
+_POW2 = os.environ.get("PLONKY2_TPU_PALLAS_POW2", "1") != "0"
 # run the kernel in interpret mode (CPU testing of the integrated path)
 _INTERPRET = False
 
@@ -87,6 +93,33 @@ def _twiddle_planes(lg_m: int, inverse: bool = False) -> tuple[np.ndarray, np.nd
     return lo, hi
 
 
+@functools.lru_cache(maxsize=None)
+def _twiddle_exp_plane(inverse: bool = False) -> np.ndarray:
+    """[63, 128] u32 exponent rows for stages 1.._CHEAP_MAX, laid out at the
+    same offsets as `_twiddle_planes`: stage-s row j = dlog2(g_{2^s}^{±j})
+    = ±j·(192 >> s) mod 192 (g_{2^s} = 2^{192 >> s} for s <= 6)."""
+    rows = []
+    for s in range(1, _CHEAP_MAX + 1):
+        step = 192 >> s
+        j = np.arange(1 << (s - 1), dtype=np.int64)
+        e = (-j * step) % 192 if inverse else (j * step) % 192
+        rows.append(e.astype(np.uint32))
+    return np.repeat(np.concatenate(rows)[:, None], _LANE, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _cube_exp_plane(inverse: bool = False) -> np.ndarray:
+    """[21, 128] u32 exponents of the cube rows for merged pairs sl in
+    {1, 3, 5} (the `_cube_offsets` prefix): ±3j·(192 >> (sl+1)) mod 192."""
+    rows = []
+    for sl in (1, 3, 5):
+        step = 192 >> (sl + 1)
+        j = np.arange(1 << (sl - 1), dtype=np.int64)
+        e = (-3 * j * step) % 192 if inverse else (3 * j * step) % 192
+        rows.append(e.astype(np.uint32))
+    return np.repeat(np.concatenate(rows)[:, None], _LANE, 1)
+
+
 def _stage_plan(lg_m: int) -> tuple[list[int], int | None]:
     """Radix-4 pairing of DIT stages 1..lg_m: merged pairs (s, s+1) listed by
     their low stage (ascending), plus a lone radix-2 stage when lg_m is odd."""
@@ -109,13 +142,19 @@ def _cube_rows(lg_m: int) -> int:
     return sum(1 << (s - 1) for s in _stage_plan(lg_m)[0])
 
 
-def _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif):
+def _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif, wexp=None):
     m = 1 << lg_m
     half = 1 << (st - 1)
     nb = m >> st
     off = half - 1  # stage-st twiddle rows live at [2^(st-1)-1, 2^st-1)
-    wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
-    wh = whi[off:off + half][None, :, None, :]
+    cheap = wexp is not None and st <= _CHEAP_MAX
+    if cheap:
+        we = wexp[off:off + half][None, :, None, :]
+        mul = lambda a, b: gl_mul_pow2(a, b, we)
+    else:
+        wl = wlo[off:off + half][None, :, None, :]  # [1, half, 1, 128]
+        wh = whi[off:off + half][None, :, None, :]
+        mul = lambda a, b: gl_mul(a, b, wl, wh)
     vvlo = vlo.reshape(nb, 2, half, s, _LANE)
     vvhi = vhi.reshape(nb, 2, half, s, _LANE)
     elo, ehi = vvlo[:, 0], vvhi[:, 0]
@@ -127,9 +166,9 @@ def _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif):
     elif dif:
         plo, phi = gl_add(elo, ehi, dlo, dhi)
         slo, shi = gl_sub(elo, ehi, dlo, dhi)
-        mlo, mhi = gl_mul(slo, shi, wl, wh)
+        mlo, mhi = mul(slo, shi)
     else:
-        tlo, thi = gl_mul(dlo, dhi, wl, wh)
+        tlo, thi = mul(dlo, dhi)
         plo, phi = gl_add(elo, ehi, tlo, thi)
         mlo, mhi = gl_sub(elo, ehi, tlo, thi)
     vlo = jnp.concatenate([plo[:, None], mlo[:, None]], 1).reshape(m, s, _LANE)
@@ -138,7 +177,8 @@ def _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif):
 
 
 def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
-            clo=None, chi=None, inverse: bool = False):
+            clo=None, chi=None, inverse: bool = False,
+            wexp=None, cexp=None):
     """Unrolled butterfly network on a VMEM-resident [m, s, 128] plane pair.
 
     dif=False: DIT, stages ascending, bit-reversed input -> natural output,
@@ -159,7 +199,8 @@ def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
     if clo is None:
         order = range(lg_m, 0, -1) if dif else range(1, lg_m + 1)
         for st in order:
-            vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif)
+            vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, st, dif,
+                                     wexp)
         return vlo, vhi
 
     m = 1 << lg_m
@@ -167,20 +208,32 @@ def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
     offs = _cube_offsets(lg_m)
 
     if dif and lone is not None:
-        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif)
+        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif, wexp)
 
     for sl in (reversed(pairs) if dif else pairs):
         h = 1 << (sl - 1)
         nb = m >> (sl + 1)
         wo = (1 << sl) - 1  # stage sl+1 rows: w'^j, first h of 2^sl entries
-        w1l = wlo[wo:wo + h][None, :, None, :]
-        w1h = whi[wo:wo + h][None, :, None, :]
         w2o = h - 1  # stage sl rows: w'^2j
-        w2l = wlo[w2o:w2o + h][None, :, None, :]
-        w2h = whi[w2o:w2o + h][None, :, None, :]
         co = offs[sl]
-        w3l = clo[co:co + h][None, :, None, :]
-        w3h = chi[co:co + h][None, :, None, :]
+        cheap = wexp is not None and sl + 1 <= _CHEAP_MAX
+        if cheap:
+            we1 = wexp[wo:wo + h][None, :, None, :]
+            we2 = wexp[w2o:w2o + h][None, :, None, :]
+            we3 = cexp[co:co + h][None, :, None, :]
+            mul1 = lambda a, b: gl_mul_pow2(a, b, we1)
+            mul2 = lambda a, b: gl_mul_pow2(a, b, we2)
+            mul3 = lambda a, b: gl_mul_pow2(a, b, we3)
+        else:
+            w1l = wlo[wo:wo + h][None, :, None, :]
+            w1h = whi[wo:wo + h][None, :, None, :]
+            w2l = wlo[w2o:w2o + h][None, :, None, :]
+            w2h = whi[w2o:w2o + h][None, :, None, :]
+            w3l = clo[co:co + h][None, :, None, :]
+            w3h = chi[co:co + h][None, :, None, :]
+            mul1 = lambda a, b: gl_mul(a, b, w1l, w1h)
+            mul2 = lambda a, b: gl_mul(a, b, w2l, w2h)
+            mul3 = lambda a, b: gl_mul(a, b, w3l, w3h)
         vvlo = vlo.reshape(nb, 4, h, s, _LANE)
         vvhi = vhi.reshape(nb, 4, h, s, _LANE)
         x = [(vvlo[:, q], vvhi[:, q]) for q in range(4)]
@@ -189,9 +242,9 @@ def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
             if sl == 1:
                 t1, A, B = x[1], x[2], x[3]
             else:
-                t1 = gl_mul(*x[1], w2l, w2h)
-                A = gl_mul(*x[2], w1l, w1h)
-                B = gl_mul(*x[3], w3l, w3h)
+                t1 = mul2(*x[1])
+                A = mul1(*x[2])
+                B = mul3(*x[3])
             y0 = gl_add(*x[0], *t1)
             y1 = gl_sub(*x[0], *t1)
             u2 = gl_add(*A, *B)
@@ -211,15 +264,15 @@ def _stages(lg_m: int, s: int, vlo, vhi, wlo, whi, dif: bool,
             z0 = gl_add(*c0, *c1)
             z1 = gl_sub(*c0, *c1)
             if sl != 1:
-                z1 = gl_mul(*z1, w2l, w2h)
-                p2 = gl_mul(*p2, w1l, w1h)
-                p3 = gl_mul(*p3, w3l, w3h)
+                z1 = mul2(*z1)
+                p2 = mul1(*p2)
+                p3 = mul3(*p3)
             z = [z0, z1, p2, p3]
         vlo = jnp.concatenate([zl[:, None] for zl, _ in z], 1).reshape(m, s, _LANE)
         vhi = jnp.concatenate([zh[:, None] for _, zh in z], 1).reshape(m, s, _LANE)
 
     if not dif and lone is not None:
-        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif)
+        vlo, vhi = _radix2_stage(lg_m, s, vlo, vhi, wlo, whi, lone, dif, wexp)
     return vlo, vhi
 
 
@@ -244,13 +297,15 @@ def _cube_planes(lg_m: int, inverse: bool = False) -> tuple[np.ndarray, np.ndarr
 def _make_kernel(lg_m: int, s: int, inverse: bool = False):
     m = 1 << lg_m
 
-    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, vlo_ref, vhi_ref,
-               olo_ref, ohi_ref):
+    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, we_ref, ce_ref,
+               vlo_ref, vhi_ref, olo_ref, ohi_ref):
         vlo, vhi = _stages(
             lg_m, s,
             vlo_ref[...].reshape(m, s, _LANE), vhi_ref[...].reshape(m, s, _LANE),
             wlo_ref[...], whi_ref[...], dif=False,
             clo=clo_ref[...], chi=chi_ref[...], inverse=inverse,
+            wexp=we_ref[...] if _POW2 else None,
+            cexp=ce_ref[...] if _POW2 else None,
         )
         olo_ref[...] = vlo.reshape(m, 1, s, _LANE)
         ohi_ref[...] = vhi.reshape(m, 1, s, _LANE)
@@ -266,7 +321,8 @@ def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False,
     gather)."""
     m = 1 << lg_m
 
-    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, twlo_ref, twhi_ref, *rest):
+    def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, we_ref, ce_ref,
+               twlo_ref, twhi_ref, *rest):
         if with_scale:
             sclo_ref, schi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref = rest
         else:
@@ -279,7 +335,9 @@ def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False,
                               schi_ref[...].reshape(m, s, _LANE))
         vlo, vhi = _stages(lg_m, s, vlo, vhi, wlo_ref[...], whi_ref[...],
                            dif=True, clo=clo_ref[...], chi=chi_ref[...],
-                           inverse=inverse)
+                           inverse=inverse,
+                           wexp=we_ref[...] if _POW2 else None,
+                           cexp=ce_ref[...] if _POW2 else None)
         twlo = twlo_ref[...].reshape(m, s, _LANE)
         twhi = twhi_ref[...].reshape(m, s, _LANE)
         vlo, vhi = gl_mul(vlo, vhi, twlo, twhi)
@@ -323,19 +381,23 @@ def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
     nV = lo.shape[1]
     wlo, whi = _twiddle_planes(lg_m, inverse)
     clo, chi = _cube_planes(lg_m, inverse)
+    we = _twiddle_exp_plane(inverse)
+    ce = _cube_exp_plane(inverse)
     vspec = pl.BlockSpec((m, 1, s, _LANE), lambda i: (_Z, _i32(i), _Z, _Z))
     wspec = pl.BlockSpec((m - 1, _LANE), lambda i: (_Z, _Z))
     cspec = pl.BlockSpec((clo.shape[0], _LANE), lambda i: (_Z, _Z))
+    wespec = pl.BlockSpec((we.shape[0], _LANE), lambda i: (_Z, _Z))
+    cespec = pl.BlockSpec((ce.shape[0], _LANE), lambda i: (_Z, _Z))
     return pl.pallas_call(
         _make_kernel(lg_m, s, inverse),
         grid=(nV,),
-        in_specs=[wspec, wspec, cspec, cspec, vspec, vspec],
+        in_specs=[wspec, wspec, cspec, cspec, wespec, cespec, vspec, vspec],
         out_specs=[vspec, vspec],
         out_shape=[jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2,
         interpret=interpret,
         **_compile_kwargs(interpret),
     )(jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(clo), jnp.asarray(chi),
-      lo, hi)
+      jnp.asarray(we), jnp.asarray(ce), lo, hi)
 
 
 def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
@@ -430,6 +492,8 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
     hi = hi.reshape(B0, a, nbc, s1, _LANE)
     wlo, whi = _twiddle_planes(lg_a, inverse)
     clo, chi = _cube_planes(lg_a, inverse)
+    we = _twiddle_exp_plane(inverse)
+    ce = _cube_exp_plane(inverse)
     twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a, inverse)
 
     if scale is None:
@@ -442,13 +506,16 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
                          lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z))
     wspec = pl.BlockSpec((a - 1, _LANE), lambda iB, ic: (_Z, _Z))
     cspec = pl.BlockSpec((clo.shape[0], _LANE), lambda iB, ic: (_Z, _Z))
+    wespec = pl.BlockSpec((we.shape[0], _LANE), lambda iB, ic: (_Z, _Z))
+    cespec = pl.BlockSpec((ce.shape[0], _LANE), lambda iB, ic: (_Z, _Z))
     twspec = pl.BlockSpec((a, 1, s1, _LANE),
                           lambda iB, ic: (_Z, _i32(ic), _Z, _Z))
     operands = [jnp.asarray(wlo), jnp.asarray(whi),
                 jnp.asarray(clo), jnp.asarray(chi),
+                jnp.asarray(we), jnp.asarray(ce),
                 jnp.asarray(twlo).reshape(a, nbc, s1, _LANE),
                 jnp.asarray(twhi).reshape(a, nbc, s1, _LANE)]
-    in_specs = [wspec, wspec, cspec, cspec, twspec, twspec]
+    in_specs = [wspec, wspec, cspec, cspec, wespec, cespec, twspec, twspec]
     if scale is not None:
         rr = np.int32(R)
         scspec = pl.BlockSpec(

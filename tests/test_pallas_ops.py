@@ -52,6 +52,49 @@ def test_limb_mul_vs_scalar_exact():
     assert got.tolist() == want
 
 
+def test_limb_mul_pow2_exact():
+    """x·2^e mod p via variable shifts (the cheap stage<=6 twiddle multiply)
+    against exact big-int arithmetic, all exponents 0..191 + edge values."""
+    rng = np.random.default_rng(11)
+    a = np.concatenate([
+        _rand_canonical(rng, (192,)),
+        np.array([0, 1, fs.P - 1, fs.EPSILON, fs.EPSILON + 1, 1 << 32],
+                 dtype=np.uint64),
+    ])
+    e = np.concatenate([
+        np.arange(192, dtype=np.uint32),
+        rng.integers(0, 192, size=6, dtype=np.uint32),
+    ])
+    alo, ahi = gl.split_planes(jnp.asarray(a))
+    got = np.asarray(gl.join_planes(*gl.gl_mul_pow2(alo, ahi, jnp.asarray(e))))
+    want = [(int(x) * pow(2, int(k), fs.P)) % fs.P for x, k in zip(a, e)]
+    assert got.tolist() == want
+
+
+def test_stage_twiddles_are_powers_of_two():
+    """Stages 1..6 twiddle/cube tables must equal 2^exponent-plane — the
+    invariant the cheap kernel path relies on."""
+    from plonky2_tpu.ops import pallas_ntt as pn
+
+    for inverse in (False, True):
+        we = pn._twiddle_exp_plane(inverse)[:, 0]
+        t = np.concatenate([
+            g.np_powers(fs.inverse(fs.primitive_root_of_unity(s)) if inverse
+                        else fs.primitive_root_of_unity(s), 1 << (s - 1))
+            for s in range(1, pn._CHEAP_MAX + 1)
+        ])
+        assert [pow(2, int(k), fs.P) for k in we] == t.tolist()
+        ce = pn._cube_exp_plane(inverse)[:, 0]
+        rows = []
+        for sl in (1, 3, 5):
+            r = fs.primitive_root_of_unity(sl + 1)
+            if inverse:
+                r = fs.inverse(r)
+            rows.append(g.np_powers(fs.exp(r, 3), 1 << (sl - 1)))
+        t = np.concatenate(rows)
+        assert [pow(2, int(k), fs.P) for k in ce] == t.tolist()
+
+
 @pytest.mark.parametrize("lg_m,V", [(9, 512), (10, 1024), (10, 1000), (11, 512)])
 def test_butterflies_kernel_matches_xla(lg_m, V):
     rng = np.random.default_rng(lg_m * 1000 + V)
