@@ -98,6 +98,7 @@ class PersistentJit:
         self._jit = None  # plain jit fallback, built lazily
         self._bound_jits: dict = {}
         self._exports: dict = {}
+        self._call_jits: dict = {}
         functools.update_wrapper(self, fn)
 
     # -- plain jit path ------------------------------------------------------
@@ -186,7 +187,17 @@ class PersistentJit:
             jfn = (self._bound_jit(statics) if self._static else self._plain())
             key = self._key(statics, leaves, _pj_key)
             exp = self._get_export(key, jfn, dyn)
-            return exp.call(*dyn)
+            # exp.call outside jit re-lowers (and for programs containing
+            # tpu_custom_call, re-COMPILES the Mosaic kernel) on every
+            # invocation — ~10s per warm call over the axon relay. A cached
+            # jit wrapper compiles once per process and then dispatches the
+            # cached executable.
+            cfn = self._call_jits.get(key)
+            if cfn is None:
+                cfn = jax.jit(exp.call)
+                with _LOCK:
+                    self._call_jits[key] = cfn
+            return cfn(*dyn)
         except Exception:
             return self._plain()(*args)
 
