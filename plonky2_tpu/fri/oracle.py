@@ -83,30 +83,45 @@ class PolynomialBatch:
     @staticmethod
     def from_values(values, rate_bits: int, blinding: bool, cap_height: int,
                     hasher=None) -> "PolynomialBatch":
-        from plonky2_tpu.parallel import shard_polys
+        from plonky2_tpu.parallel import pad_shard_polys
 
-        values = shard_polys(jnp.asarray(np.asarray(values, dtype=np.uint64)))
+        # Under a mesh: zero-pad the poly axis to a device multiple so the
+        # per-poly NTTs stay local (bit-identical for the real rows), then
+        # slice back before committing leaves.
+        values, num_polys = pad_shard_polys(
+            jnp.asarray(np.asarray(values, dtype=np.uint64)))
         n = values.shape[-1]
+        padded = num_polys != values.shape[0]
         if _algebraic(hasher):
             coeffs, lde = _values_to_lde(values, rate_bits)
+            if padded:
+                coeffs, lde = coeffs[:num_polys], lde[:num_polys]
             return PolynomialBatch._finish_natural(coeffs, lde, n, rate_bits,
                                                    blinding, cap_height)
         coeffs, lde, leaves = _values_to_lde_leaves(values, rate_bits, SALT_SIZE if blinding else 0)
+        if padded:
+            coeffs, lde, leaves = coeffs[:num_polys], lde[:num_polys], leaves[:, :num_polys]
         return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
                                        cap_height, hasher)
 
     @staticmethod
     def from_coeffs(coeffs, rate_bits: int, blinding: bool, cap_height: int,
                     hasher=None) -> "PolynomialBatch":
-        from plonky2_tpu.parallel import shard_polys
+        from plonky2_tpu.parallel import pad_shard_polys
 
-        coeffs = shard_polys(jnp.asarray(np.asarray(coeffs, dtype=np.uint64)))
+        coeffs, num_polys = pad_shard_polys(
+            jnp.asarray(np.asarray(coeffs, dtype=np.uint64)))
         n = coeffs.shape[-1]
+        padded = num_polys != coeffs.shape[0]
         if _algebraic(hasher):
             lde = _coeffs_to_lde(coeffs, rate_bits)
+            if padded:
+                coeffs, lde = coeffs[:num_polys], lde[:num_polys]
             return PolynomialBatch._finish_natural(coeffs, lde, n, rate_bits,
                                                    blinding, cap_height)
         lde, leaves = _coeffs_to_lde_leaves(coeffs, rate_bits)
+        if padded:
+            coeffs, lde, leaves = coeffs[:num_polys], lde[:num_polys], leaves[:, :num_polys]
         return PolynomialBatch._finish(coeffs, lde, leaves, n, rate_bits, blinding,
                                        cap_height, hasher)
 
@@ -118,9 +133,10 @@ class PolynomialBatch:
         instead transposes + reverse_index_bits the whole LDE)."""
         cols = lde
         if blinding:
-            # Salt rows are fresh randomness, not transcript-bound; host RNG.
-            salt = np.random.randint(0, fs.P, size=(SALT_SIZE, lde.shape[1]),
-                                     dtype=np.uint64)
+            # Salt rows are fresh randomness, not transcript-bound.
+            from plonky2_tpu.util import rng
+
+            salt = rng.field_matrix((SALT_SIZE, lde.shape[1]), fs.P)
             cols = jnp.concatenate([cols, jnp.asarray(salt)], axis=0)
         tree = NaturalMerkleTree(cols, cap_height)
         return PolynomialBatch(coeffs, lde, tree, n.bit_length() - 1, rate_bits,
@@ -129,8 +145,10 @@ class PolynomialBatch:
     @staticmethod
     def _finish(coeffs, lde, leaves, n, rate_bits, blinding, cap_height, hasher=None):
         if blinding:
-            # Salt columns are fresh randomness, not transcript-bound; host RNG.
-            salt = np.random.randint(0, fs.P, size=(leaves.shape[0], SALT_SIZE), dtype=np.uint64)
+            # Salt columns are fresh randomness, not transcript-bound.
+            from plonky2_tpu.util import rng
+
+            salt = rng.field_matrix((leaves.shape[0], SALT_SIZE), fs.P)
             leaves = jnp.concatenate([leaves, jnp.asarray(salt)], axis=1)
         tree = make_merkle_tree(leaves, cap_height, hasher)
         return PolynomialBatch(coeffs, lde, tree, n.bit_length() - 1, rate_bits, blinding)
@@ -153,17 +171,25 @@ class PolynomialBatch:
                        final_poly_coeff_len=None, max_num_query_steps=None, timing=None,
                        hasher=None):
         """Reference fri/oracle.rs:176-237; returns FriProof."""
+        from plonky2_tpu.parallel import shard_lanes
+
         alpha = challenger.get_extension_challenge(2)
 
         rate_bits = fri_params.config.rate_bits
         n = 1 << fri_params.degree_bits
 
+        # Under a mesh, oracles may carry DIFFERENT placements (the
+        # constants/sigmas oracle is built at circuit-build time, outside any
+        # mesh; prove-time oracles are mesh-sharded). Re-place every coeff
+        # matrix with one uniform lane sharding before mixing rows across
+        # oracles — jnp.stack over differently-committed arrays is an error.
+        mats = [shard_lanes(o.polynomials) for o in oracles]
+
         # Device: accumulate final_poly over batches.
         final0 = jnp.zeros((n,), dtype=jnp.uint64)
         final1 = jnp.zeros((n,), dtype=jnp.uint64)
-        alpha_count = 0
         for batch in instance.batches:
-            polys = [oracles[p.oracle_index].polynomials[p.polynomial_index]
+            polys = [mats[p.oracle_index][p.polynomial_index]
                      for p in batch.polynomials]
             num = len(polys)
             # stack rows from each oracle's coeff matrix: gather per oracle

@@ -110,15 +110,16 @@ class RandomValueGenerator(SimpleGenerator):
         return [self.target]
 
     def run_once(self, witness, out_buffer):
-        import random
+        from plonky2_tpu.util import rng
 
-        out_buffer.set_target(self.target, random.randrange(fs.P))
+        out_buffer.set_target(self.target, int(rng.field_elements(1, fs.P)[0]))
 
     @classmethod
     def run_batch(cls, gens, witness):
+        from plonky2_tpu.util import rng
+
         reps = _reps(witness, (g.target for g in gens), len(gens))
-        vals = np.random.randint(0, int(fs.P), size=len(gens), dtype=np.uint64)
-        witness.set_reps(reps, vals)
+        witness.set_reps(reps, rng.field_elements(len(gens), fs.P))
 
 
 class NonzeroTestGenerator(SimpleGenerator):

@@ -20,12 +20,15 @@ The TPU-native design (SURVEY.md §2.7, §5): lay out polynomials as
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_log = logging.getLogger("plonky2_tpu.parallel")
 
 from plonky2_tpu.field import goldilocks as g
 from plonky2_tpu.field import ntt
@@ -68,10 +71,27 @@ def active_mesh() -> Mesh | None:
 
 
 def _shard(x, spec):
+    """Commit x to the active mesh with `spec`. Uneven axis sizes are fine
+    (GSPMD pads internally). If placement fails for any reason the array is
+    REPLICATED onto the mesh — never left with an inconsistent placement —
+    and the fallback is logged (a silently unplaced array is how mixed
+    device commitments crash downstream jits)."""
     mesh = active_mesh()
     if mesh is None:
         return x
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    x = jnp.asarray(x)
+    try:
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    except Exception as e:  # pragma: no cover - defensive
+        _log.warning("mesh placement %s for shape %s failed (%s); replicating",
+                     spec, x.shape, e)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def replicate(x):
+    """Commit x to the active mesh fully replicated (no-op without a mesh).
+    Use for small arrays that mix with sharded ones in a single program."""
+    return _shard(x, P())
 
 
 def shard_polys(x):
@@ -80,11 +100,27 @@ def shard_polys(x):
     mesh = active_mesh()
     if mesh is None:
         return x
+    return _shard(x, P(mesh.axis_names[0], *([None] * (jnp.ndim(x) - 1))))
+
+
+def pad_shard_polys(x):
+    """[num_polys, n] -> (poly-sharded array padded with zero rows to a mesh
+    multiple, original num_polys). IFFT/LDE are per-poly independent, so a
+    zero-padded poly axis computes bit-identical results for the real rows;
+    callers slice back to `orig` afterwards. This keeps the per-poly NTTs
+    fully local on every device instead of replicating uneven batches
+    (e.g. the standard config's 135 wire polynomials on an 8-device mesh)."""
+    mesh = active_mesh()
+    x = jnp.asarray(x)
+    if mesh is None:
+        return x, x.shape[0]
     n_dev = mesh.devices.size
-    if x.shape[0] % n_dev != 0:
-        # uneven poly counts: shard the long (evaluation) axis instead
-        return _shard(x, P(None, mesh.axis_names[0])) if x.shape[-1] % n_dev == 0 else jnp.asarray(x)
-    return _shard(x, P(mesh.axis_names[0], None))
+    orig = x.shape[0]
+    rem = orig % n_dev
+    if rem:
+        pad = jnp.zeros((n_dev - rem,) + x.shape[1:], dtype=x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    return shard_polys(x), orig
 
 
 def shard_rows(x):
@@ -92,8 +128,6 @@ def shard_rows(x):
     mesh = active_mesh()
     if mesh is None:
         return x
-    if x.shape[0] % mesh.devices.size != 0:
-        return jnp.asarray(x)
     return _shard(x, P(mesh.axis_names[0]))
 
 
@@ -102,9 +136,7 @@ def shard_lanes(x):
     mesh = active_mesh()
     if mesh is None:
         return x
-    if x.shape[-1] % mesh.devices.size != 0:
-        return jnp.asarray(x)
-    spec = P(*([None] * (x.ndim - 1) + [mesh.axis_names[0]]))
+    spec = P(*([None] * (jnp.ndim(x) - 1) + [mesh.axis_names[0]]))
     return _shard(x, spec)
 
 

@@ -329,12 +329,17 @@ def _round2_one_challenge(wires_routed, sigmas, k_is, subgroup, beta_gamma, qdf)
 def _all_partial_products_and_zs(wires_values_routed, prover_data, common, betas, gammas):
     """[num_challenges*(1+num_prods), degree]: all Z polys first, then the
     partial products per challenge (reference prover.rs:220-257 layout)."""
+    from plonky2_tpu.parallel import replicate, shard_lanes
+
     qdf = common.quotient_degree_factor
     zs = []
     pps = []
-    sigmas = jnp.asarray(prover_data.sigmas)
-    k_is = jnp.asarray(np.asarray(common.k_is, dtype=np.uint64))
-    subgroup = jnp.asarray(np.asarray(prover_data.subgroup, dtype=np.uint64))
+    # lane-sharded: rows (evaluation points) are the long axis; the scans
+    # lower to sharded associative scans (reference prover.rs:407-433 row-par)
+    wires_values_routed = shard_lanes(wires_values_routed)
+    sigmas = shard_lanes(jnp.asarray(prover_data.sigmas))
+    k_is = replicate(jnp.asarray(np.asarray(common.k_is, dtype=np.uint64)))
+    subgroup = shard_lanes(jnp.asarray(np.asarray(prover_data.subgroup, dtype=np.uint64)))
     for beta, gamma in zip(betas, gammas):
         bg = jnp.asarray(np.asarray([beta, gamma], dtype=np.uint64))
         z, pp = _round2_one_challenge(wires_values_routed, sigmas, k_is, subgroup, bg, qdf)
