@@ -1,16 +1,24 @@
-"""Driver benchmark: coset NTT/iNTT + LDE throughput at n = 2^20.
+"""Driver benchmark. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra": {...}}
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no absolute numbers (BASELINE.md) and the Rust
-toolchain is absent, so vs_baseline reports this run against the pure-XLA
-path of the same pipeline (the pre-Pallas implementation) measured in the
-same process — i.e. the speedup contributed by the fused kernels.
+Headline metric: bench_recursion steady-state proofs/s — warm in-process
+re-proves of the middle recursion layer (reference
+plonky2/examples/bench_recursion.rs:294-349), min over `REPEATS` runs.
+`extra` carries the coset iNTT+LDE throughput at n=2^20 (the other driver
+metric) and the raw phase timings.
 
-The iteration loop runs INSIDE jit (lax.fori_loop, input perturbed per
-iteration to defeat CSE) and one reduced scalar is fetched at the end:
-device->host fetches cost a ~28ms tunnel round-trip under axon and
-block_until_ready is unreliable there, so per-call host timing would be
-dominated by transport.
+Methodology: every timing is repeat-and-take-min (no RTT subtraction). The
+NTT pipeline runs `NTT_ITERS` iterations inside one jit (lax.fori_loop,
+input perturbed per iteration to defeat CSE) so the single device->host
+fetch (~28ms over the axon tunnel) is amortized, then the whole jitted call
+is timed `NTT_CALLS` times and the minimum taken.
+
+vs_baseline: the reference publishes no absolute numbers and no Rust
+toolchain exists in this image (BASELINE.md), so vs_baseline for the NTT
+reports the fused-Pallas path against the pure-XLA path of the same
+pipeline measured in the same process; for proofs/s it is 0.0 (no reference
+measurement exists to compare against — recorded honestly rather than
+fabricated).
 """
 
 import json
@@ -18,17 +26,24 @@ import time
 
 import numpy as np
 
-
-def _measure(pipeline_sum, values, iters):
-    ref = int(pipeline_sum(values))  # compile + warmup
-    t0 = time.perf_counter()
-    out = int(pipeline_sum(values))
-    dt = (time.perf_counter() - t0 - 0.028) / iters  # subtract one fetch RTT
-    assert out == ref
-    return dt
+NTT_ITERS = 16
+NTT_CALLS = 4
+REPEATS = 5
+SIZE = 12  # log2 inner gate count, the reference README's bench size is 2^14
 
 
-def main():
+def _min_time(fn, calls):
+    best = float("inf")
+    ref = fn()  # compile + warmup
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+        assert out == ref
+    return best
+
+
+def ntt_metrics():
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -40,7 +55,6 @@ def main():
     n = 1 << lg_n
     num_polys = 4
     rate_bits = 3
-    iters = 8
 
     rng = np.random.default_rng(0)
     values = jnp.asarray(
@@ -56,25 +70,61 @@ def main():
                 out = ntt.coset_lde(ntt.ifft(v + i.astype(jnp.uint64)), rate_bits)
                 return acc ^ jnp.bitwise_xor.reduce(jnp.ravel(out))
 
-            return lax.fori_loop(0, iters, body, jnp.uint64(0))
+            return lax.fori_loop(0, NTT_ITERS, body, jnp.uint64(0))
 
         return pipeline_sum
 
     flag = pallas_ntt._FLAG
-    dt = _measure(make(flag), values, iters)
+    fn = make(flag)
+    dt = _min_time(lambda: int(fn(values)), NTT_CALLS) / NTT_ITERS
     elems_per_s = num_polys * n / dt
 
-    vs_baseline = 0.0
+    vs_xla = 0.0
     if pallas_ntt.should_use(lg_n // 2, 0):  # only when the kernels are live
-        dt_xla = _measure(make("0"), values, iters)
+        # Best-effort: the XLA-path comparison compile is large and the axon
+        # remote-compile relay occasionally drops it; the headline number
+        # must not die with it.
+        for attempt in range(2):
+            try:
+                fn_xla = make("0")
+                dt_xla = _min_time(lambda: int(fn_xla(values)), 2) / NTT_ITERS
+                vs_xla = round(dt_xla / dt, 3)
+                break
+            except Exception:
+                continue
         pallas_ntt._FLAG = flag
-        vs_baseline = round(dt_xla / dt, 3)
 
+    return {"ntt_elems_per_s": round(elems_per_s, 1),
+            "ntt_lg_n": lg_n, "ntt_vs_xla_path": vs_xla}
+
+
+def recursion_metrics():
+    from plonky2_tpu.examples.bench_recursion import run_chain
+
+    t0 = time.time()
+    _, timings = run_chain(SIZE, verbose=False, repeats=REPEATS)
+    timings["chain_total"] = round(time.time() - t0, 1)
+    return timings
+
+
+def main():
+    extra = ntt_metrics()
+    timings = recursion_metrics()
+    warm = timings.get("warm_prove")
+    extra.update({
+        "inner_prove_s": round(timings.get("inner", 0.0), 2),
+        "middle_first_s": round(timings.get("middle", 0.0), 2),
+        "outer_first_s": round(timings.get("outer", 0.0), 2),
+        "warm_recursive_prove_s": round(warm, 3) if warm else None,
+        "repeats": REPEATS,
+        "inner_size_log2": SIZE,
+    })
     print(json.dumps({
-        "metric": f"coset iNTT+LDE(x{1 << rate_bits}) throughput, n=2^{lg_n}",
-        "value": round(elems_per_s, 1),
-        "unit": "goldilocks elems/s/chip",
-        "vs_baseline": vs_baseline,
+        "metric": f"bench_recursion steady-state recursive prove (inner 2^{SIZE})",
+        "value": round(1.0 / warm, 3) if warm else 0.0,
+        "unit": "proofs/s/chip",
+        "vs_baseline": 0.0,
+        "extra": extra,
     }))
 
 

@@ -72,11 +72,15 @@ class DummyProofGenerator(SimpleGenerator):
     (reference dummy_circuit.rs:160+)."""
 
     def __init__(self, proof_with_pis_target, proof_with_pis,
-                 verifier_data_target, verifier_only):
+                 verifier_data_target, verifier_only, inner_common=None):
         self.proof_with_pis_target = proof_with_pis_target
         self.proof_with_pis = proof_with_pis
         self.verifier_data_target = verifier_data_target
         self.verifier_only = verifier_only
+        # the dummy circuit's CommonCircuitData — needed to serialize this
+        # generator (reference dummy_circuit.rs:289-293 ships the full
+        # VerifierCircuitData, which includes common)
+        self.inner_common = inner_common
 
     def dependencies(self):
         return []
@@ -124,7 +128,8 @@ def dummy_proof_and_vk(builder, common_data):
     proof_t = add_virtual_proof_with_pis(builder, common_data)
     vk_t = add_virtual_verifier_data(builder, builder.config.fri_config.cap_height)
     builder.add_simple_generator(
-        DummyProofGenerator(proof_t, proof, vk_t, circuit.verifier_only)
+        DummyProofGenerator(proof_t, proof, vk_t, circuit.verifier_only,
+                            inner_common=circuit.common)
     )
     return proof_t, vk_t
 
