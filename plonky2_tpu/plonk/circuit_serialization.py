@@ -347,11 +347,16 @@ def verifier_data_to_bytes(verifier_only, common) -> bytes:
     return bytes(w.buf)
 
 
-def verifier_data_from_bytes(data: bytes):
+def verifier_data_from_bytes(data: bytes, gc=None):
     r = CircuitReader(data)
-    # VerifierOnly's cap is read before common; the digest representation is
-    # hasher-dependent — peek the common afterwards for gc (Poseidon default).
+    # VerifierOnly's cap is read before common and its hash encoding is
+    # hasher-dependent (keccak digests are raw bytes); pass gc for
+    # non-Poseidon configs (the reference encodes the hasher in the
+    # GenericConfig type parameter, plonk/config.rs:95).
+    if gc is not None:
+        r.hasher = gc.hasher
     vd = r.read_verifier_only_circuit_data()
     common = r.read_common_circuit_data()
+    common.gc = gc
     assert r.pos == len(data)
     return vd, common

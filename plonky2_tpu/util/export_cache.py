@@ -99,6 +99,7 @@ class PersistentJit:
         self._bound_jits: dict = {}
         self._exports: dict = {}
         self._call_jits: dict = {}
+        self._bad_keys: set = set()
         functools.update_wrapper(self, fn)
 
     # -- plain jit path ------------------------------------------------------
@@ -169,9 +170,40 @@ class PersistentJit:
             self._exports[key] = exp
         return exp
 
+    def _bad_path(self, key: str) -> str:
+        d = cache_dir()
+        return os.path.join(d, key + ".bad") if d else ""
+
+    def _key_is_bad(self, key: str) -> bool:
+        if key in self._bad_keys:
+            return True
+        p = self._bad_path(key)
+        if p and os.path.exists(p):
+            self._bad_keys.add(key)
+            return True
+        return False
+
+    def _poison(self, key: str) -> None:
+        """Mark a key whose exported program fails to (re)compile. Without
+        this, every call would re-attempt the failing compile before falling
+        back to plain jit (observed: the axon AOT relay SIGABRTs re-compiling
+        exported Mosaic u64 kernels, ~10s per attempt — it made every warm
+        Merkle commit pay 10s). Persisted on disk so future processes skip
+        the attempt entirely."""
+        self._bad_keys.add(key)
+        p = self._bad_path(key)
+        if p:
+            try:
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "w") as f:
+                    f.write("export recompile failed; plain-jit fallback\n")
+            except OSError:
+                pass
+
     def __call__(self, *args, _pj_key: str | None = ""):
         if not _ENABLED or _pj_key is None:
             return self._plain()(*args)
+        key = None
         try:
             from plonky2_tpu.parallel import active_mesh
 
@@ -186,6 +218,8 @@ class PersistentJit:
                 return self._plain()(*args)
             jfn = (self._bound_jit(statics) if self._static else self._plain())
             key = self._key(statics, leaves, _pj_key)
+            if self._key_is_bad(key):
+                return self._plain()(*args)
             exp = self._get_export(key, jfn, dyn)
             # exp.call outside jit re-lowers (and for programs containing
             # tpu_custom_call, re-COMPILES the Mosaic kernel) on every
@@ -199,6 +233,8 @@ class PersistentJit:
                     self._call_jits[key] = cfn
             return cfn(*dyn)
         except Exception:
+            if key is not None:
+                self._poison(key)
             return self._plain()(*args)
 
 

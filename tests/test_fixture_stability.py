@@ -1,0 +1,119 @@
+"""Fixture stability: the committed proof bytes (fixtures/) deserialize and
+verify, and re-proving under the pinned seed reproduces them byte-exactly.
+Catches any serialization-format or transcript regression without a Rust
+toolchain (VERDICT item 6; reference format util/serialization/mod.rs:55-120).
+"""
+
+import os
+
+import pytest
+
+from plonky2_tpu.plonk.circuit_serialization import (
+    verifier_data_from_bytes,
+    verifier_data_to_bytes,
+)
+from plonky2_tpu.plonk.serialization import proof_from_bytes, proof_to_bytes
+from plonky2_tpu.util import rng
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "fixtures")
+SEED = 2026  # tools/generate_fixtures.py
+
+
+def _read(name):
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+def _check_plonk_fixture(name, build_and_prove):
+    from plonky2_tpu.plonk.verifier import verify
+
+    proof_blob = _read(f"{name}.proof.bin")
+    vd_blob = _read(f"{name}.verifier.bin")
+
+    # committed bytes deserialize and verify standalone (no rebuild)
+    vd, common = verifier_data_from_bytes(vd_blob)
+    pwp = proof_from_bytes(proof_blob, common)
+    verify(pwp, vd, common)
+
+    # re-prove under the pinned seed: byte-identical
+    rng.seed(SEED)
+    data, proof, *_ = build_and_prove()
+    rng.seed(None)
+    assert proof_to_bytes(proof) == proof_blob
+    assert verifier_data_to_bytes(data.verifier_only, data.common) == vd_blob
+
+
+def test_factorial_fixture():
+    from plonky2_tpu.examples.factorial import build_and_prove
+
+    _check_plonk_fixture("factorial", build_and_prove)
+
+
+def test_fibonacci_fixture():
+    from plonky2_tpu.examples.fibonacci import build_and_prove
+
+    _check_plonk_fixture("fibonacci", build_and_prove)
+
+
+def test_range_check_fixture():
+    from plonky2_tpu.examples.range_check import build_and_prove
+
+    _check_plonk_fixture("range_check", build_and_prove)
+
+
+def test_square_root_fixture():
+    from plonky2_tpu.examples.square_root import build_and_prove
+
+    _check_plonk_fixture("square_root", build_and_prove)
+
+
+def test_keccak_fixture_verifies():
+    """Keccak transcript fixture: deserializes + verifies standalone.
+    (Re-prove covered by the generator tool; the keccak hasher is exercised
+    e2e in test_keccak_config.py.)"""
+    from plonky2_tpu.plonk.config import keccak_goldilocks_config
+    from plonky2_tpu.plonk.verifier import verify
+
+    vd_blob = _read("keccak_factorial.verifier.bin")
+    vd, common = verifier_data_from_bytes(vd_blob, gc=keccak_goldilocks_config())
+    pwp = proof_from_bytes(_read("keccak_factorial.proof.bin"), common)
+    verify(pwp, vd, common)
+
+
+def test_starky_fixture():
+    from plonky2_tpu.starky.config import StarkConfig
+    from plonky2_tpu.starky.fibonacci_stark import FibonacciStark, fibonacci
+    from plonky2_tpu.starky.prover import prove
+    from plonky2_tpu.starky.serialization import (
+        stark_proof_from_bytes,
+        stark_proof_to_bytes,
+    )
+    from plonky2_tpu.starky.verifier import verify_stark_proof
+
+    blob = _read("starky_fibonacci.proof.bin")
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+
+    # committed bytes deserialize and verify
+    pwp = stark_proof_from_bytes(blob, config)
+    verify_stark_proof(stark, pwp, config)
+
+    # STARK proving is fully deterministic (no unconstrained wires, no zk
+    # salts): regeneration must be byte-identical without any seed
+    public_inputs = [0, 1, fibonacci(num_rows - 1, 0, 1)]
+    trace = stark.generate_trace(public_inputs[0], public_inputs[1])
+    proof = prove(stark, config, trace, public_inputs)
+    assert stark_proof_to_bytes(proof, config) == blob
+
+
+def test_bench_recursion_fixture_verifies():
+    """The outer proof of the 3-proof recursion chain verifies standalone
+    from the committed bytes (chain regeneration is minutes-slow; covered by
+    tools/generate_fixtures.py and the recursion e2e tests)."""
+    from plonky2_tpu.plonk.verifier import verify
+
+    vd, common = verifier_data_from_bytes(_read("bench_recursion.verifier.bin"))
+    pwp = proof_from_bytes(_read("bench_recursion.proof.bin"), common)
+    verify(pwp, vd, common)
