@@ -114,6 +114,35 @@ def eval_lut_poly(common, lut_index: int, deltas: list[int]) -> int:
     return acc
 
 
+def eval_lut_poly_circuit(builder, common, lut_index: int, deltas) -> "Target":
+    """get_lut_poly evaluated at ChallengeDelta with b/delta as circuit
+    targets; LUT entries are compile-time constants (reference
+    vanishing_poly.rs:756-794 get_lut_poly_circuit). Returns a base Target
+    numerically equal to the host eval_lut_poly value."""
+    from plonky2_tpu.gates.lookup import LookupTableGate
+
+    b = deltas[CHALLENGE_B]
+    delta = deltas[CHALLENGE_DELTA]
+    lut = common.luts[lut_index]
+    nb_slots = LookupTableGate.num_slots_from_config(common.config)
+    lut_row_number = -(-len(lut) // nb_slots)
+    degree = nb_slots * lut_row_number
+    n = len(lut)
+    nb_padded = (nb_slots - n % nb_slots) % nb_slots
+    pad_i, pad_o = lut[0]
+
+    coeffs = [builder.add_const(builder.mul_const(o, b), i) for i, o in lut]
+    coeffs += [builder.add_const(builder.mul_const(pad_o, b), pad_i)] * nb_padded
+    zero = builder.zero()
+    coeffs += [zero] * (degree - (n + nb_padded))
+    coeffs.reverse()
+    # ascending coeffs, Horner from the top (same order as host eval_lut_poly)
+    acc = zero
+    for c in reversed(coeffs):
+        acc = builder.add(builder.mul(acc, delta), c)
+    return acc
+
+
 def check_lookup_constraints(ops, common, vars, local_lookup_zs, next_lookup_zs,
                              lookup_selectors, deltas, lut_re_evals) -> list:
     """Lookup argument constraints for ONE challenge's 4-delta block

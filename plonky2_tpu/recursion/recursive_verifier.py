@@ -263,6 +263,30 @@ def _verify_proof_with_challenges(builder, proof_t: ProofTarget, public_inputs_h
     l_0_zeta = builder.div_extension(z_h_zeta, denom)
 
     lift = builder.convert_to_ext
+    if common.num_lookup_polys != 0:
+        # in-circuit LUT-binding polynomial evaluations at the sampled
+        # deltas (reference vanishing_poly.rs:1045 get_lut_poly_circuit)
+        from plonky2_tpu.plonk.vanishing_poly import (
+            NUM_COINS_LOOKUP,
+            eval_lut_poly_circuit,
+        )
+
+        nc = common.config.num_challenges
+        lut_re_evals = [
+            [lift(eval_lut_poly_circuit(
+                builder, common, l,
+                challenges.plonk_deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP]))
+             for l in range(len(common.luts))]
+            for c in range(nc)
+        ]
+        lookup_kwargs = dict(
+            local_lookup_zs=openings.lookup_zs,
+            next_lookup_zs=openings.next_lookup_zs,
+            deltas=[lift(d) for d in challenges.plonk_deltas],
+            lut_re_evals=lut_re_evals,
+        )
+    else:
+        lookup_kwargs = {}
     vanishing_polys_zeta = eval_vanishing_poly(
         ops, common, zeta, vars,
         openings.plonk_zs, openings.plonk_zs_next, openings.partial_products,
@@ -271,6 +295,7 @@ def _verify_proof_with_challenges(builder, proof_t: ProofTarget, public_inputs_h
         [lift(g) for g in challenges.plonk_gammas],
         [lift(a) for a in challenges.plonk_alphas],
         l_0_zeta,
+        **lookup_kwargs,
     )
 
     # vanishing(zeta) == Z_H(zeta) * t(zeta) per challenge
