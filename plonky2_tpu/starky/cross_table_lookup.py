@@ -342,13 +342,16 @@ def prove_multi_table(starks, config, traces, public_inputs_per_table,
     return proofs, ctl_challenges
 
 
-def verify_multi_table(starks, config, proofs, cross_table_lookups) -> None:
-    """Replay the shared transcript, verify each table with its CTL vars,
-    then check the cross-table sums."""
-    from plonky2_tpu.field import scalar as _fs
+def get_multi_proof_challenges(starks, config, proofs, cross_table_lookups):
+    """All Fiat-Shamir challenges of a multi-table proof under the shared
+    transcript (reference starky/src/proof.rs MultiProofChallenges +
+    get_challenges with ignore_trace_cap semantics, get_challenges.rs:270).
+
+    Returns (MultiProofChallenges, ctl_desc) where ctl_desc carries the
+    per-table CTL shape descriptors needed to build CtlCheckVars."""
     from plonky2_tpu.iop.challenger import Challenger
     from plonky2_tpu.starky.get_challenges import get_challenges
-    from plonky2_tpu.starky.verifier import verify_stark_proof_with_challenges
+    from plonky2_tpu.starky.proof import MultiProofChallenges
 
     challenger = Challenger()
     config.observe(challenger)
@@ -363,17 +366,32 @@ def verify_multi_table(starks, config, proofs, cross_table_lookups) -> None:
         max(s.constraint_degree() for s in starks),
     )
 
-    ctl_zs_first = []
+    stark_challenges = []
     for i, (stark, pwp) in enumerate(zip(starks, proofs)):
         num_helpers_per_z = [len(z.helper_columns) for z in ctl_desc[i].zs_columns]
-        num_lookup_columns = stark.num_lookup_helper_columns(config)
-        challenges = get_challenges(
+        stark_challenges.append(get_challenges(
             stark, pwp, config, challenger=challenger, observe_instance=False,
             ctl_challenge_set=ctl_challenges,
             ctl_zs_data=ctl_desc[i].zs_columns,
             num_ctl_helpers_per_z=num_helpers_per_z,
-        )
-        lift = lambda c: _fs.ext_from_base(c, 2)
+        ))
+
+    return (MultiProofChallenges(stark_challenges=stark_challenges,
+                                 ctl_challenges=ctl_challenges), ctl_desc)
+
+
+def verify_multi_table(starks, config, proofs, cross_table_lookups) -> None:
+    """Replay the shared transcript, verify each table with its CTL vars,
+    then check the cross-table sums."""
+    from plonky2_tpu.starky.verifier import verify_stark_proof_with_challenges
+
+    multi_challenges, ctl_desc = get_multi_proof_challenges(
+        starks, config, proofs, cross_table_lookups)
+
+    ctl_zs_first = []
+    for i, (stark, pwp) in enumerate(zip(starks, proofs)):
+        num_helpers_per_z = [len(z.helper_columns) for z in ctl_desc[i].zs_columns]
+        num_lookup_columns = stark.num_lookup_helper_columns(config)
         ctl_vars = CtlCheckVars.from_proof(
             ctl_desc[i].zs_columns,
             pwp.proof.openings.auxiliary_polys,
@@ -381,8 +399,8 @@ def verify_multi_table(starks, config, proofs, cross_table_lookups) -> None:
             num_lookup_columns, num_helpers_per_z,
         )
         verify_stark_proof_with_challenges(
-            stark, pwp.proof, challenges, pwp.public_inputs, config,
-            ctl_vars=ctl_vars,
+            stark, pwp.proof, multi_challenges.stark_challenges[i],
+            pwp.public_inputs, config, ctl_vars=ctl_vars,
         )
         ctl_zs_first.append(list(pwp.proof.openings.ctl_zs_first or []))
 

@@ -63,3 +63,13 @@ class StarkProofChallenges:
     stark_alphas: list[int]
     stark_zeta: tuple
     fri_challenges: object
+
+
+@dataclass
+class MultiProofChallenges:
+    """Randomness for all STARK proofs in a multi-table system
+    (reference starky/src/proof.rs:196-202): per-table challenges plus the
+    CTL GrandProductChallengeSet shared by every table."""
+
+    stark_challenges: list  # [StarkProofChallenges] per table
+    ctl_challenges: object  # GrandProductChallengeSet

@@ -133,3 +133,25 @@ def test_ctl_recursive_multi_table(ctl_setup):
         set_stark_proof_with_pis_target(pw, pt, pf)
     proof = data.prove(pw)
     data.verify(proof)
+
+
+def test_multi_proof_challenges_api(ctl_setup):
+    """MultiProofChallenges surface (reference starky/src/proof.rs:196-202):
+    per-table challenges + the shared CTL challenge set, consistent with the
+    driver's own transcript."""
+    from plonky2_tpu.starky.cross_table_lookup import get_multi_proof_challenges
+    from plonky2_tpu.starky.proof import MultiProofChallenges
+
+    a, b, ctls = ctl_setup
+    starks = [a, b]
+    config = StarkConfig.standard_fast_config()
+    traces = [a.generate_trace(), b.generate_trace()]
+    proofs, _ = prove_multi_table(starks, config, traces, [[], []], ctls)
+    mc, ctl_desc = get_multi_proof_challenges(starks, config, proofs, ctls)
+    assert isinstance(mc, MultiProofChallenges)
+    assert len(mc.stark_challenges) == len(starks)
+    assert len(mc.ctl_challenges.challenges) == config.num_challenges
+    assert len(ctl_desc) == len(starks)
+    # zetas are per-table (independent draws from the shared transcript)
+    zetas = [c.stark_zeta for c in mc.stark_challenges]
+    assert len(set(zetas)) == len(zetas)
