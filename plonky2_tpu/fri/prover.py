@@ -13,6 +13,7 @@ the zero-tail LDE fast path.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -58,8 +59,7 @@ def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
     )
 
 
-@persistent_jit(static_argnums=(1, 2))
-def _fold_step_leaves(values, arity_bits, lg_len):
+def _fold_step_leaves_impl(values, arity_bits, lg_len):
     """Bit-reverse values, chunk into arity cosets, flatten ext -> leaves."""
     v0, v1 = values
     arity = 1 << arity_bits
@@ -71,8 +71,10 @@ def _fold_step_leaves(values, arity_bits, lg_len):
     return jnp.stack([v0, v1], axis=-1).reshape(L // arity, 2 * arity)
 
 
-@persistent_jit(static_argnums=(2, 3))
-def _fold_coeffs_and_relde(coeffs, beta, arity_bits, rate_bits_shift):
+_fold_step_leaves = persistent_jit(_fold_step_leaves_impl, static_argnums=(1, 2))
+
+
+def _fold_coeffs_and_relde_impl(coeffs, beta, arity_bits, rate_bits_shift):
     """Fold coeffs by beta per arity chunk; re-LDE on the next coset.
 
     rate_bits_shift = (rate_bits, next_shift) both static Python values.
@@ -93,8 +95,132 @@ def _fold_coeffs_and_relde(coeffs, beta, arity_bits, rate_bits_shift):
     return new_coeffs, (v0, v1)
 
 
+_fold_coeffs_and_relde = persistent_jit(_fold_coeffs_and_relde_impl,
+                                        static_argnums=(2, 3))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_commit_fn(lg_n, arities, rate_bits, shifts, cap_height, k_pending):
+    """One jit program for the ENTIRE commit phase: initial LDE, then per
+    fold step (leaf cosets -> Merkle layers -> cap observe -> beta -> fold ->
+    re-LDE) with the Fiat-Shamir challenger device-resident
+    (iop.challenger.DeviceChallenger). The host path paid one cap fetch +
+    one beta round trip per step over the axon tunnel; here the whole chain
+    is one dispatch and the caps/final-poly/sponge return in ONE packed
+    fetch."""
+    from plonky2_tpu.hash.merkle import merkle_layers_dev
+    from plonky2_tpu.iop.challenger import DeviceChallenger
+
+    def f(c0, c1, sponge, pending):
+        dc = DeviceChallenger(sponge, [pending[i] for i in range(k_pending)])
+        shift0 = fs.MULTIPLICATIVE_GROUP_GENERATOR
+        values = (ntt.lde_fft(c0, rate_bits, shift=shift0),
+                  ntt.lde_fft(c1, rate_bits, shift=shift0))
+        coeffs = (c0, c1)
+        step_arrays = []
+        caps = []
+        lg_len = lg_n + rate_bits
+        for i, ab in enumerate(arities):
+            leaves = _fold_step_leaves_impl(values, ab, lg_len)
+            layers = merkle_layers_dev(leaves, cap_height)
+            caps.append(layers[-1])
+            dc.observe_cap_rows(layers[-1])
+            b0 = dc.get_challenge()
+            b1 = dc.get_challenge()
+            coeffs, values = _fold_coeffs_and_relde_impl(
+                coeffs, (b0, b1), ab, (rate_bits, shifts[i]))
+            lg_len -= ab
+            step_arrays.append((leaves, tuple(layers)))
+        packed = jnp.concatenate(
+            [jnp.ravel(c) for c in caps] + [coeffs[0], coeffs[1], dc.state])
+        return step_arrays, packed
+
+    import jax
+
+    return jax.jit(f)
+
+
 def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
                          max_num_query_steps, hasher=None):
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
+    algebraic = (hasher is None or hasher is PoseidonHasher
+                 or getattr(hasher, "algebraic", False))
+    arities = tuple(fri_params.reduction_arity_bits)
+    if algebraic and arities and challenger.hasher is PoseidonHasher:
+        trees, coeffs = _fri_committed_trees_fused(coeffs, challenger,
+                                                   fri_params, arities)
+    else:
+        trees, coeffs = _fri_committed_trees_host(coeffs, challenger,
+                                                  fri_params, hasher)
+
+    cap_height = fri_params.config.cap_height
+    # dummy challenges for unified-shape recursion (reference fri/prover.rs:119-131)
+    if max_num_query_steps is not None:
+        zero_cap = [0] * ((1 << cap_height) * 4)
+        for _ in range(len(fri_params.reduction_arity_bits), max_num_query_steps):
+            challenger.observe_elements(zero_cap)
+            challenger.get_extension_challenge(2)
+
+    c0, c1 = np.asarray(coeffs[0]), np.asarray(coeffs[1])
+    final_poly = [(int(a), int(b)) for a, b in zip(c0, c1)]
+    for coeff in final_poly:
+        challenger.observe_extension_element(coeff)
+    if final_poly_coeff_len is not None:
+        for _ in range(len(final_poly), final_poly_coeff_len):
+            challenger.observe_extension_element((0, 0))
+
+    return trees, final_poly
+
+
+def _fri_committed_trees_fused(coeffs, challenger, fri_params, arities):
+    from plonky2_tpu.hash.merkle import merkle_tree_from_device
+    from plonky2_tpu.parallel import replicate
+
+    rate_bits = fri_params.config.rate_bits
+    cap_height = fri_params.config.cap_height
+    lg_n = coeffs[0].shape[0].bit_length() - 1
+
+    shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    shifts = []
+    for ab in arities:
+        shift = fs.exp(shift, 1 << ab)
+        shifts.append(shift)
+
+    pending = challenger.input_buffer
+    fn = _fused_commit_fn(lg_n, arities, rate_bits, tuple(shifts), cap_height,
+                          len(pending))
+    sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
+    pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
+    step_arrays, packed = fn(replicate(coeffs[0]), replicate(coeffs[1]),
+                             replicate(sponge), replicate(pend))
+
+    flat = np.asarray(packed)  # ONE fetch: caps + final coeffs + sponge
+    rows = 1 << cap_height
+    pos = 0
+    trees = []
+    for i, (leaves, layers) in enumerate(step_arrays):
+        cap_host = [[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                    for r in range(rows)]
+        pos += rows * 4
+        trees.append(merkle_tree_from_device(leaves, layers, cap_height, cap_host))
+    n_final = (flat.shape[0] - pos - 12) // 2
+    c0 = flat[pos:pos + n_final]
+    c1 = flat[pos + n_final:pos + 2 * n_final]
+    sponge_out = flat[pos + 2 * n_final:]
+
+    # sync the host challenger to the device transcript: the fused program
+    # ends right after a challenge draw (inputs flushed); the remaining
+    # squeezed outputs are state[:RATE] minus the two beta pops
+    from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE
+
+    challenger.sponge_state = [int(x) for x in sponge_out]
+    challenger.input_buffer = []
+    challenger.output_buffer = [int(x) for x in sponge_out[:SPONGE_RATE - 2]]
+    return trees, (c0, c1)
+
+
+def _fri_committed_trees_host(coeffs, challenger, fri_params, hasher):
     rate_bits = fri_params.config.rate_bits
     cap_height = fri_params.config.cap_height
     shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
@@ -114,22 +240,7 @@ def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
             coeffs, g.to_field(list(beta)), arity_bits, (rate_bits, shift)
         )
 
-    # dummy challenges for unified-shape recursion (reference fri/prover.rs:119-131)
-    if max_num_query_steps is not None:
-        zero_cap = [0] * ((1 << cap_height) * 4)
-        for _ in range(len(fri_params.reduction_arity_bits), max_num_query_steps):
-            challenger.observe_elements(zero_cap)
-            challenger.get_extension_challenge(2)
-
-    c0, c1 = np.asarray(coeffs[0]), np.asarray(coeffs[1])
-    final_poly = [(int(a), int(b)) for a, b in zip(c0, c1)]
-    for coeff in final_poly:
-        challenger.observe_extension_element(coeff)
-    if final_poly_coeff_len is not None:
-        for _ in range(len(final_poly), final_poly_coeff_len):
-            challenger.observe_extension_element((0, 0))
-
-    return trees, final_poly
+    return trees, coeffs
 
 
 @persistent_jit(static_argnums=(1,))
@@ -203,14 +314,19 @@ def fri_proof_of_work(challenger, config) -> int:
 
 def _fri_prover_query_rounds(initial_merkle_trees, trees, challenger, n, fri_params):
     indices = [c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)]
-    # Batched extraction: ONE device gather + fetch per tree for all query
-    # rounds (a per-index walk costs a tunnel round-trip per array access).
-    initial_opens = [_open_many(t, indices) for t in initial_merkle_trees]
-    step_opens = []
+    # Packed extraction: per-tree device gathers (async dispatches), all
+    # results concatenated into ONE flat device array and fetched in a
+    # single transfer — the per-tree fetch version paid one ~30-100ms
+    # tunnel round trip per tree (7+ trees per proof).
+    tree_indices = [indices] * len(initial_merkle_trees)
     xs = indices
-    for i, tree in enumerate(trees):
+    for i in range(len(trees)):
         xs = [x >> fri_params.reduction_arity_bits[i] for x in xs]
-        step_opens.append(_open_many(tree, xs))
+        tree_indices.append(xs)
+    all_opens = _open_many_packed(list(initial_merkle_trees) + list(trees),
+                                  tree_indices)
+    initial_opens = all_opens[:len(initial_merkle_trees)]
+    step_opens = all_opens[len(initial_merkle_trees):]
     rounds = []
     for qi in range(len(indices)):
         steps = [
@@ -228,11 +344,54 @@ def _fri_prover_query_rounds(initial_merkle_trees, trees, challenger, n, fri_par
     return rounds
 
 
-def _open_many(tree, indices):
-    open_many = getattr(tree, "open_many", None)
-    if open_many is not None:
-        return open_many(indices)
-    return [(tree.leaf(i), tree.prove(i)) for i in indices]
+@partial(jax.jit, static_argnums=())
+def _pack_flat(arrs):
+    return jnp.concatenate([jnp.ravel(a).astype(jnp.uint64) for a in arrs])
+
+
+def _open_many_packed(all_trees, tree_indices):
+    """Open many indices on many trees with ONE device->host transfer.
+
+    Trees with `open_many_dev` contribute device gathers packed into a
+    single flat fetch; others (host/keccak trees) fall back to their own
+    open_many/leaf+prove path."""
+    from plonky2_tpu.hash.merkle import MerkleProof
+
+    dev_parts = []  # (slot, q, levels, width, leaf_size, sib_size)
+    results: list = [None] * len(all_trees)
+    for slot, (tree, idxs) in enumerate(zip(all_trees, tree_indices)):
+        omd = getattr(tree, "open_many_dev", None)
+        if omd is None:
+            om = getattr(tree, "open_many", None)
+            results[slot] = (om(idxs) if om is not None
+                             else [(tree.leaf(i), tree.prove(i)) for i in idxs])
+            continue
+        leaves, sibs = omd(idxs)
+        # uniform placement before cross-tree concatenation (trees built
+        # inside/outside a mesh carry different commitments); tiny arrays
+        from plonky2_tpu.parallel import replicate
+
+        leaves, sibs = replicate(leaves), replicate(sibs)
+        q, w = leaves.shape
+        levels = sibs.shape[1]
+        dev_parts.append((slot, q, levels, w, leaves, sibs))
+
+    if dev_parts:
+        flat = np.asarray(_pack_flat(tuple(
+            x for p in dev_parts for x in (p[4], p[5]))))
+        pos = 0
+        for slot, q, levels, w, _, _ in dev_parts:
+            leaves = flat[pos:pos + q * w].reshape(q, w)
+            pos += q * w
+            sibs = flat[pos:pos + q * levels * 4].reshape(q, levels, 4)
+            pos += q * levels * 4
+            results[slot] = [
+                ([int(v) for v in leaves[qi]],
+                 MerkleProof([[int(v) for v in sibs[qi, k]]
+                              for k in range(levels)]))
+                for qi in range(q)
+            ]
+    return results
 
 
 def _unflatten(flat: list[int]) -> list[tuple]:

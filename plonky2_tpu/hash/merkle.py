@@ -183,24 +183,31 @@ class MerkleTree:
     def leaf(self, leaf_index: int) -> list[int]:
         return [int(v) for v in np.asarray(self.leaves[leaf_index])]
 
-    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
-        """Batched (leaf, proof) extraction: ONE device gather + two host
-        fetches for all queries (vs one tunnel round-trip per array access)."""
+    def open_many_dev(self, indices: list[int]):
+        """Device-side batched query gather -> (leaves [q, w], sibs
+        [q, levels, 4]) WITHOUT fetching (callers pack several trees'
+        openings into one transfer)."""
         levels = len(self._layers_dev) - 1
         q = len(indices)
         leaf_idx = np.asarray(indices, dtype=np.int32)
         sib_idx = np.asarray(
             [[(i >> k) ^ 1 for k in range(levels)] for i in indices],
             dtype=np.int32).reshape(q, levels)
-        leaves, sibs = _gather_openings_rows(
+        return _gather_openings_rows(
             self.leaves, tuple(self._layers_dev[:-1]),
             jnp.asarray(leaf_idx), jnp.asarray(sib_idx))
+
+    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
+        """Batched (leaf, proof) extraction: ONE device gather + two host
+        fetches for all queries (vs one tunnel round-trip per array access)."""
+        leaves, sibs = self.open_many_dev(indices)
+        levels = len(self._layers_dev) - 1
         leaves = np.asarray(leaves)          # [q, width]
         sibs = np.asarray(sibs)              # [q, levels, 4]
         return [
             ([int(v) for v in leaves[qi]],
              MerkleProof([[int(v) for v in sibs[qi, k]] for k in range(levels)]))
-            for qi in range(q)
+            for qi in range(len(indices))
         ]
 
 
@@ -288,10 +295,10 @@ class NaturalMerkleTree:
             siblings.append([int(v) for v in self._layers[k][:, j]])
         return MerkleProof(siblings)
 
-    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
-        """Batched (leaf, proof) extraction: ONE device gather + two host
-        fetches for all queries. Index remapping ref->natural happens here
-        on host integers."""
+    def open_many_dev(self, indices: list[int]):
+        """Device-side batched query gather -> (leaves [q, w], sibs
+        [q, levels, 4]) without fetching. Index remapping ref->natural
+        happens here on host integers."""
         levels = self._lg_n - self.cap_height
         q = len(indices)
         leaf_idx = np.asarray(
@@ -299,15 +306,21 @@ class NaturalMerkleTree:
         sib_idx = np.asarray(
             [[reverse_bits((i >> k) ^ 1, self._lg_n - k) for k in range(levels)]
              for i in indices], dtype=np.int32).reshape(q, levels)
-        leaves, sibs = _gather_openings_cols(
+        return _gather_openings_cols(
             self._cols_dev, tuple(self._layers_dev[:-1]),
             jnp.asarray(leaf_idx), jnp.asarray(sib_idx))
+
+    def open_many(self, indices: list[int]) -> list[tuple[list[int], MerkleProof]]:
+        """Batched (leaf, proof) extraction: ONE device gather + two host
+        fetches for all queries."""
+        levels = self._lg_n - self.cap_height
+        leaves, sibs = self.open_many_dev(indices)
         leaves = np.asarray(leaves)          # [q, width]
         sibs = np.asarray(sibs)              # [q, levels, 4]
         return [
             ([int(v) for v in leaves[qi]],
              MerkleProof([[int(v) for v in sibs[qi, k]] for k in range(levels)]))
-            for qi in range(q)
+            for qi in range(len(indices))
         ]
 
 
@@ -376,6 +389,19 @@ class KeccakMerkleTree:
         import numpy as _np
 
         return [int(v) for v in _np.asarray(self.leaves[leaf_index])]
+
+
+def merkle_tree_from_device(leaves, layers, cap_height: int, cap_host) -> MerkleTree:
+    """Wrap precomputed device layers (e.g. produced inside a larger fused
+    program) as a MerkleTree without rebuilding or refetching; `cap_host` is
+    the already-fetched reference-order cap."""
+    t = MerkleTree.__new__(MerkleTree)
+    t.leaves = leaves
+    t.cap_height = cap_height
+    t._layers_dev = list(layers)
+    t._layers_host = None
+    t.cap = cap_host
+    return t
 
 
 def make_merkle_tree(leaves, cap_height: int, hasher=None):

@@ -95,3 +95,53 @@ class Challenger:
             self._duplexing()
         self.output_buffer.clear()
         return list(self.sponge_state)
+
+
+class DeviceChallenger:
+    """Trace-time dual of `Challenger` for use INSIDE one jit program.
+
+    Values (sponge state, buffered elements) are device scalars; buffer
+    COUNTS are static Python ints, so tracing unrolls the exact duplex
+    schedule the host challenger would execute — challenge streams are
+    bit-identical. Used by the fused FRI commit phase (fri/prover.py) to run
+    cap-observe -> beta -> fold chains without per-step host round trips."""
+
+    def __init__(self, sponge_state, pending_inputs=()):
+        self.state = sponge_state  # [12] u64 device array
+        self.inputs = list(pending_inputs)  # list of 0-d device scalars
+        self.outputs: list = []
+
+    def observe_element(self, x) -> None:
+        from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE
+
+        self.outputs = []
+        self.inputs.append(x)
+        if len(self.inputs) == SPONGE_RATE:
+            self._duplexing()
+
+    def observe_cap_rows(self, cap) -> None:
+        """cap: [rows, 4] device digests, observed row-major (the host
+        observe_cap order)."""
+        rows, width = cap.shape
+        for r in range(rows):
+            for c in range(width):
+                self.observe_element(cap[r, c])
+
+    def get_challenge(self):
+        if self.inputs or not self.outputs:
+            self._duplexing()
+        return self.outputs.pop()
+
+    def _duplexing(self) -> None:
+        import jax.numpy as jnp
+
+        from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE
+
+        st = self.state
+        if self.inputs:
+            st = jnp.concatenate([jnp.stack(self.inputs),
+                                  st[len(self.inputs):]])
+        st = ps.permute_dev_sm(st[:, None])[:, 0]
+        self.state = st
+        self.inputs = []
+        self.outputs = [st[i] for i in range(SPONGE_RATE)]

@@ -606,22 +606,55 @@ def _eval_commitment(z: tuple, commitment) -> list[tuple]:
     return [(int(a), int(b)) for a, b in zip(e0, e1)]
 
 
+@persistent_jit
+def _eval_opening_set(cs, wires, zs_pp, quot, zz):
+    """All opening-set evaluations in ONE program, packed into one [2, total]
+    array: [cs@z | wires@z | zs_pp@z | zs_pp@gz | quot@z]. One device->host
+    fetch instead of five (each fetch is a full tunnel round trip)."""
+    z = (zz[0], zz[1])
+    gz = (zz[2], zz[3])
+    outs0, outs1 = [], []
+    for coeffs, point in ((cs, z), (wires, z), (zs_pp, z), (zs_pp, gz), (quot, z)):
+        n = coeffs.shape[-1]
+        zp0, zp1 = g.ext2_powers(point, n)
+        outs0.append(g.sum_mod(g.mul(coeffs, zp0[None, :]), axis=1))
+        outs1.append(g.sum_mod(g.mul(coeffs, zp1[None, :]), axis=1))
+    return jnp.stack([jnp.concatenate(outs0), jnp.concatenate(outs1)])
+
+
 def _opening_set(zeta, g_root, constants_sigmas_commitment, wires_commitment,
                  zs_partial_products_commitment, quotient_polys_commitment,
                  common) -> OpeningSet:
     """Reference plonk/proof.rs:314-351."""
     zeta_next = fs.ext_scalar_mul(g_root, zeta)
-    cs_eval = _eval_commitment(zeta, constants_sigmas_commitment)
-    zs_pp_eval = _eval_commitment(zeta, zs_partial_products_commitment)
-    zs_pp_next_eval = _eval_commitment(zeta_next, zs_partial_products_commitment)
+    zz = jnp.asarray(np.asarray(list(zeta) + list(zeta_next), dtype=np.uint64))
+    # uniform placement: under a mesh the build-time constants/sigmas oracle
+    # lives on one device while prove-time oracles are sharded — one program
+    # cannot mix committed placements
+    from plonky2_tpu.parallel import shard_lanes
+
+    packed = np.asarray(_eval_opening_set(
+        shard_lanes(constants_sigmas_commitment.polynomials),
+        shard_lanes(wires_commitment.polynomials),
+        shard_lanes(zs_partial_products_commitment.polynomials),
+        shard_lanes(quotient_polys_commitment.polynomials), zz))
+    n_cs = constants_sigmas_commitment.polynomials.shape[0]
+    n_w = wires_commitment.polynomials.shape[0]
+    n_z = zs_partial_products_commitment.polynomials.shape[0]
+    off = np.cumsum([0, n_cs, n_w, n_z, n_z])
+    segs = [
+        [(int(a), int(b)) for a, b in zip(packed[0, s:e], packed[1, s:e])]
+        for s, e in zip(off, list(off[1:]) + [packed.shape[1]])
+    ]
+    cs_eval, wires_eval, zs_pp_eval, zs_pp_next_eval, quot_eval = segs
     return OpeningSet(
         constants=[cs_eval[i] for i in common.constants_range()],
         plonk_sigmas=[cs_eval[i] for i in common.sigmas_range()],
-        wires=_eval_commitment(zeta, wires_commitment),
+        wires=wires_eval,
         plonk_zs=[zs_pp_eval[i] for i in common.zs_range()],
         plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
         partial_products=[zs_pp_eval[i] for i in common.partial_products_range()],
-        quotient_polys=_eval_commitment(zeta, quotient_polys_commitment),
+        quotient_polys=quot_eval,
         lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
         lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
     )
