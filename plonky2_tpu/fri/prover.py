@@ -272,7 +272,8 @@ def _grind_chunk(intermediate, witness_pos, start, pow_bits):
     ok = resp < threshold
     found = jnp.any(ok)
     idx = jnp.argmax(ok)
-    return found, cand[idx]
+    # one packed result -> one device->host fetch per chunk
+    return jnp.stack([found.astype(jnp.uint64), cand[idx]])
 
 
 def fri_proof_of_work(challenger, config) -> int:
@@ -295,11 +296,11 @@ def fri_proof_of_work(challenger, config) -> int:
     inter_dev = g.to_field(intermediate)
     start = 0
     while True:
-        found, cand = _grind_chunk(
+        res = np.asarray(_grind_chunk(
             inter_dev, witness_pos, jnp.asarray(np.uint64(start)), pow_bits
-        )
-        if bool(found):
-            pow_witness = int(cand)
+        ))
+        if res[0]:
+            pow_witness = int(res[1])
             break
         start += _GRIND_CHUNK
         assert start < fs.P, "Proof of work failed (searched entire field)"

@@ -350,6 +350,11 @@ class PoseidonGenerator(SimpleGenerator):
     """Fills swap-deltas, per-round S-box input wires and outputs
     (reference gates/poseidon.rs PoseidonGenerator)."""
 
+    # the native C++ kernel (or the numpy path) beats the ~3.5ms scalar
+    # permutation even for a single row — recursion circuits have many
+    # levels with only 1-3 PoseidonGates (sequential Merkle path chains)
+    BATCH_MIN = 1
+
     def __init__(self, row: int):
         self.row = row
 

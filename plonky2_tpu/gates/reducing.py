@@ -110,6 +110,8 @@ class ReducingGate(Gate):
 
 
 class ReducingGenerator(SimpleGenerator):
+    BATCH_MIN = 2
+
     def __init__(self, row: int, num_coeffs: int):
         self.row = row
         self.num_coeffs = num_coeffs
@@ -129,6 +131,41 @@ class ReducingGenerator(SimpleGenerator):
             cols += list(gate.wires_accs(i))
         cols += list(gate.wires_output())
         return [Wire(self.row, c) for c in cols]
+
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized over rows grouped by num_coeffs: numpy ext2 Horner
+        chain, one set_reps write per wire column group."""
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+
+        by_n: dict[int, list] = {}
+        for g in gens:
+            by_n.setdefault(g.num_coeffs, []).append(g)
+        for num_coeffs, group in by_n.items():
+            gate = ReducingGate(num_coeffs)
+            n = len(group)
+            rows = np.fromiter((g.row for g in group), np.int64, n)
+            getc = lambda col: witness.get_reps(witness.wire_reps(rows, col))
+            wa = list(gate.wires_alpha())
+            wo = list(gate.wires_old_acc())
+            a0, a1 = getc(wa[0]), getc(wa[1])
+            acc0, acc1 = getc(wo[0]), getc(wo[1])
+            coeff_cols = list(gate.wires_coeffs())
+            reps, vals = [], []
+            for i in range(num_coeffs):
+                c = getc(coeff_cols[i])
+                acc0, acc1 = npf.ext2_mul(acc0, acc1, a0, a1)
+                acc0 = npf.add(acc0, c)
+                wacc = list(gate.wires_accs(i))
+                reps += [witness.wire_reps(rows, wacc[0]), witness.wire_reps(rows, wacc[1])]
+                vals += [acc0, acc1]
+            wout = list(gate.wires_output())
+            reps += [witness.wire_reps(rows, wout[0]), witness.wire_reps(rows, wout[1])]
+            vals += [acc0, acc1]
+            witness.set_reps(np.concatenate(reps), np.concatenate(vals))
 
     def run_once(self, witness, out):
         gate = self._gate()
@@ -228,6 +265,8 @@ class ReducingExtensionGate(Gate):
 
 
 class ReducingExtensionGenerator(SimpleGenerator):
+    BATCH_MIN = 2
+
     def __init__(self, row: int, num_coeffs: int):
         self.row = row
         self.num_coeffs = num_coeffs
@@ -249,6 +288,40 @@ class ReducingExtensionGenerator(SimpleGenerator):
             cols += list(gate.wires_accs(i))
         cols += list(gate.wires_output())
         return [Wire(self.row, c) for c in cols]
+
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized over rows grouped by num_coeffs (extension coeffs)."""
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+
+        by_n: dict[int, list] = {}
+        for g in gens:
+            by_n.setdefault(g.num_coeffs, []).append(g)
+        for num_coeffs, group in by_n.items():
+            gate = ReducingExtensionGate(num_coeffs)
+            n = len(group)
+            rows = np.fromiter((g.row for g in group), np.int64, n)
+            getc = lambda col: witness.get_reps(witness.wire_reps(rows, col))
+            wa = list(gate.wires_alpha())
+            wo = list(gate.wires_old_acc())
+            a0, a1 = getc(wa[0]), getc(wa[1])
+            acc0, acc1 = getc(wo[0]), getc(wo[1])
+            reps, vals = [], []
+            for i in range(num_coeffs):
+                wc = list(gate.wires_coeff(i))
+                c0, c1 = getc(wc[0]), getc(wc[1])
+                acc0, acc1 = npf.ext2_mul(acc0, acc1, a0, a1)
+                acc0, acc1 = npf.ext2_add(acc0, acc1, c0, c1)
+                wacc = list(gate.wires_accs(i))
+                reps += [witness.wire_reps(rows, wacc[0]), witness.wire_reps(rows, wacc[1])]
+                vals += [acc0, acc1]
+            wout = list(gate.wires_output())
+            reps += [witness.wire_reps(rows, wout[0]), witness.wire_reps(rows, wout[1])]
+            vals += [acc0, acc1]
+            witness.set_reps(np.concatenate(reps), np.concatenate(vals))
 
     def run_once(self, witness, out):
         gate = self._gate()

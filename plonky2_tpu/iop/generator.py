@@ -277,7 +277,10 @@ def _run_levelized(witness, generators, levels) -> None:
             by_type.setdefault(type(generators[i]), []).append(i)
         for gcls, idxs in by_type.items():
             run_batch = getattr(gcls, "run_batch", None)
-            if run_batch is not None and len(idxs) >= _BATCH_MIN:
+            # classes whose batch path has no numpy setup penalty (e.g. the
+            # native Poseidon witness kernel) lower their own threshold
+            if run_batch is not None and len(idxs) >= getattr(
+                    gcls, "BATCH_MIN", _BATCH_MIN):
                 run_batch([generators[i] for i in idxs], witness)
                 continue
             for i in idxs:

@@ -21,3 +21,25 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import plonky2_tpu  # noqa: F401  (enables x64)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_jit_state():
+    """Free compiled executables between test modules.
+
+    Root-cause investigation of the state-dependent XLA:CPU SIGABRT (one
+    process running the full suite aborts inside backend_compile_and_load
+    after ~125 tests, faulthandler stack in repo history; 125 GB free RAM,
+    so not OOM): the abort tracks the NUMBER of live in-process compiled
+    executables, not any specific program — moving tests moves the crash.
+    Dropping the executable caches at module boundaries keeps the LLVM JIT
+    state bounded and the full single-process suite green; xdist module
+    sharding (pytest.ini) remains for wall-time only.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
