@@ -50,12 +50,14 @@ class GateInstance:
         self.constants = constants
 
 
+from plonky2_tpu.gadgets.algebra_gadgets import AlgebraGadgetsMixin
 from plonky2_tpu.gadgets.extension_arithmetic import ExtensionArithmeticMixin
 from plonky2_tpu.gadgets.lookup import LookupMixin
 from plonky2_tpu.gadgets.recursion_gadgets import RecursionGadgetsMixin
 
 
-class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixin):
+class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixin,
+                     AlgebraGadgetsMixin):
     def __init__(self, config: CircuitConfig | None = None, gc=None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gc = gc or pcfg.poseidon_goldilocks_config()
