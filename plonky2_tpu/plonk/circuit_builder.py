@@ -125,6 +125,55 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
     def add_virtual_hash(self) -> list[Target]:
         return self.add_virtual_targets(4)
 
+    def add_virtual_hashes(self, n: int) -> list[list[Target]]:
+        return [self.add_virtual_hash() for _ in range(n)]
+
+    def add_virtual_target_arr(self, n: int) -> list[Target]:
+        return self.add_virtual_targets(n)
+
+    def add_virtual_public_input_arr(self, n: int) -> list[Target]:
+        ts = self.add_virtual_targets(n)
+        self.register_public_inputs(ts)
+        return ts
+
+    def add_virtual_hash_public_input(self) -> list[Target]:
+        h = self.add_virtual_hash()
+        self.register_public_inputs(h)
+        return h
+
+    def add_virtual_hashes_public_input(self, n: int) -> list[list[Target]]:
+        return [self.add_virtual_hash_public_input() for _ in range(n)]
+
+    def connect_array(self, xs, ys) -> None:
+        assert len(xs) == len(ys)
+        for x, y in zip(xs, ys):
+            self.connect(x, y)
+
+    def constant_bool(self, b: bool) -> BoolTarget:
+        return BoolTarget(self.one() if b else self.zero())
+
+    def constant_hash(self, digest) -> list[Target]:
+        return [self.constant(int(v)) for v in digest]
+
+    def constant_merkle_cap(self, cap) -> list[list[Target]]:
+        return [self.constant_hash(d) for d in cap]
+
+    def constant_verifier_data(self, verifier_only):
+        """reference circuit_builder.rs constant_verifier_data."""
+        from plonky2_tpu.recursion.recursive_verifier import VerifierCircuitTarget
+
+        return VerifierCircuitTarget(
+            constants_sigmas_cap=self.constant_merkle_cap(
+                verifier_only.constants_sigmas_cap),
+            circuit_digest=self.constant_hash(verifier_only.circuit_digest),
+        )
+
+    def set_domain_separator(self, separator: list[int]) -> None:
+        """Distinguishes otherwise-identical circuits' digests/VKs
+        (reference circuit_builder.rs:262-266)."""
+        assert getattr(self, "domain_separator", None) is None
+        self.domain_separator = list(separator)
+
     # -- gates -------------------------------------------------------------
 
     def num_gates(self) -> int:
@@ -679,7 +728,8 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
         # 8. circuit digest (reference circuit_builder.rs:1252-1264)
         hasher = self.gc.hasher
         cap = constants_sigmas_commitment.merkle_tree.cap
-        domain_separator_digest = hasher.hash_pad([])
+        domain_separator_digest = hasher.hash_pad(
+            getattr(self, "domain_separator", None) or [])
         digest_parts = (
             [x for h in cap for x in hasher.digest_to_felts(h)]
             + hasher.digest_to_felts(domain_separator_digest)
@@ -724,3 +774,15 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
                 "Built CommonCircuitData does not match the goal (cyclic fixpoint)"
             )
         return CircuitData(prover_only, verifier_only, common)
+
+    def build_prover(self):
+        """Proving-only circuit data (reference circuit_builder.rs:1336-1340)."""
+        return self.build().prover_data()
+
+    def build_verifier(self):
+        """Verification-only circuit data (reference circuit_builder.rs:1343-1347)."""
+        return self.build().verifier_data()
+
+    def mock_build(self):
+        """Witness-generation-only data (reference circuit_builder.rs:1328-1334)."""
+        return self.build().mock()

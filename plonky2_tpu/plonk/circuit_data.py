@@ -187,13 +187,66 @@ class MockCircuitData:
 
 
 @dataclass
+class ProverCircuitData:
+    """Proving-only circuit data (reference plonk/circuit_data.rs:256-297)."""
+
+    prover_only: ProverOnlyCircuitData
+    common: CommonCircuitData
+
+    def prove(self, inputs, timing=None):
+        from plonky2_tpu.plonk.prover import prove
+
+        return prove(self.prover_only, self.common, inputs, timing=timing)
+
+    def to_bytes(self, registry=None) -> bytes:
+        from plonky2_tpu.plonk.prover_serialization import prover_data_to_bytes
+
+        return prover_data_to_bytes(self.prover_only, self.common, registry)
+
+    @staticmethod
+    def from_bytes(data: bytes, registry=None) -> "ProverCircuitData":
+        from plonky2_tpu.plonk.prover_serialization import prover_data_from_bytes
+
+        prover_only, common = prover_data_from_bytes(data, registry)
+        return ProverCircuitData(prover_only=prover_only, common=common)
+
+
+@dataclass
+class VerifierCircuitData:
+    """Verification-only circuit data (reference plonk/circuit_data.rs:299-337)."""
+
+    verifier_only: VerifierOnlyCircuitData
+    common: CommonCircuitData
+
+    def verify(self, proof_with_pis) -> None:
+        from plonky2_tpu.plonk.verifier import verify
+
+        verify(proof_with_pis, self.verifier_only, self.common)
+
+    def to_bytes(self) -> bytes:
+        from plonky2_tpu.plonk.circuit_serialization import verifier_data_to_bytes
+
+        return verifier_data_to_bytes(self.verifier_only, self.common)
+
+    @staticmethod
+    def from_bytes(data: bytes, gc=None) -> "VerifierCircuitData":
+        from plonky2_tpu.plonk.circuit_serialization import verifier_data_from_bytes
+
+        verifier_only, common = verifier_data_from_bytes(data, gc=gc)
+        return VerifierCircuitData(verifier_only=verifier_only, common=common)
+
+
+@dataclass
 class CircuitData:
     prover_only: ProverOnlyCircuitData
     verifier_only: VerifierOnlyCircuitData
     common: CommonCircuitData
 
-    def verifier_data(self):
-        return self.verifier_only
+    def prover_data(self) -> "ProverCircuitData":
+        return ProverCircuitData(prover_only=self.prover_only, common=self.common)
+
+    def verifier_data(self) -> "VerifierCircuitData":
+        return VerifierCircuitData(verifier_only=self.verifier_only, common=self.common)
 
     def mock(self) -> "MockCircuitData":
         return MockCircuitData(prover_only=self.prover_only, common=self.common)

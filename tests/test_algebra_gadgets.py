@@ -164,3 +164,52 @@ def test_split_le_base():
     pis = _prove(b, pw)
     expected = [(val >> (2 * i)) & 3 for i in range(8)]
     assert pis == expected
+
+
+def test_builder_convenience_apis():
+    """build_prover/build_verifier/mock_build + constant hash/cap/vk +
+    domain separator (reference circuit_builder.rs:262,1328-1347)."""
+    def make(sep=None):
+        b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+        if sep is not None:
+            b.set_domain_separator(sep)
+        xs = b.add_virtual_public_input_arr(3)
+        h = b.add_virtual_hash_public_input()
+        b.connect_array(xs[:2], xs[1:])  # x0 == x1 == x2
+        b.register_public_input(b.constant_bool(True).target)
+        return b, xs, h
+
+    b, xs, h = make()
+    data = b.build()
+
+    b2, xs2, h2 = make()
+    prover = b2.build_prover()
+    pw = PartialWitness()
+    pw.set_target(xs2[0], 9)
+    for t in h2:
+        pw.set_target(t, 1)
+    proof = prover.prove(pw)
+    assert proof.public_inputs == [9, 9, 9, 1, 1, 1, 1, 1]
+
+    b3, _, _ = make()
+    verifier = b3.build_verifier()
+    verifier.verify(proof)
+    blob = verifier.to_bytes()
+    from plonky2_tpu.plonk.circuit_data import VerifierCircuitData
+
+    VerifierCircuitData.from_bytes(blob).verify(proof)
+
+    # distinct domain separators -> distinct circuit digests
+    b4, _, _ = make(sep=[1, 2, 3])
+    data4 = b4.build()
+    assert data4.verifier_only.circuit_digest != data.verifier_only.circuit_digest
+
+    # mock build generates witnesses without proving key material
+    b5, xs5, h5 = make()
+    mock = b5.mock_build()
+    pw = PartialWitness()
+    pw.set_target(xs5[0], 4)
+    for t in h5:
+        pw.set_target(t, 2)
+    w = mock.generate_witness(pw)
+    assert w.get_target(xs5[2]) == 4
