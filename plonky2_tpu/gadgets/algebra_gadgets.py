@@ -139,6 +139,35 @@ class AlgebraGadgetsMixin:
             z = fs.mul(z, z0)
         return ExtensionTarget(tuple(parts))
 
+    def neg_one_extension(self) -> ExtensionTarget:
+        return self.constant_extension((fs.P - 1, 0))
+
+    def constant_ext_algebra(self, values) -> list:
+        """values: D extension values -> [D] ExtensionTargets."""
+        return [self.constant_extension(v) for v in values]
+
+    def convert_to_ext_algebra(self, et: ExtensionTarget) -> list:
+        """Lift an extension element to the algebra: [et, 0, ..]
+        (reference ext_target.rs convert_to_ext_algebra)."""
+        return [et] + [self.zero_extension() for _ in range(D - 1)]
+
+    def flatten_target(self, ets) -> list:
+        """[ExtensionTarget] -> flat base Targets (reference flatten_target)."""
+        return [t for et in ets for t in et.parts]
+
+    def unflatten_target(self, ts) -> list:
+        assert len(ts) % D == 0
+        return [ExtensionTarget(tuple(ts[i:i + D])) for i in range(0, len(ts), D)]
+
+    def connect_merkle_caps(self, a, b) -> None:
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            self.connect_array(da, db)
+
+    def connect_verifier_data(self, a, b) -> None:
+        self.connect_array(a.circuit_digest, b.circuit_digest)
+        self.connect_merkle_caps(a.constants_sigmas_cap, b.constants_sigmas_cap)
+
     # -- vectorized random access (gadgets/random_access.rs:76-120) ----------
 
     def random_access_merkle_cap(self, access_index: Target, caps: list) -> list:
