@@ -99,3 +99,58 @@ def test_stark_constraints_on_trace(stark, trace, public_inputs) -> None:
                     assert c == 0, "last-row constraint violated"
 
         stark.eval(ops, frame, _Checker())
+
+
+def test_stark_circuit_constraints(stark, degree_bits: int = 3, seed: int = 0,
+                                   public_inputs=None) -> None:
+    """Native vs in-circuit constraint evaluation equality (reference
+    stark_testing.rs:76-130): evaluate the alpha-accumulated constraints on
+    a random frame once with host extension scalars and once through
+    CircuitOps in a proven plonky2 circuit, and assert equal results.
+
+    With the ops-generic Stark.eval the two share one definition by
+    construction; this still drives the CircuitOps path (arithmetic gates,
+    ext ops) end-to-end through a real prove."""
+    from plonky2_tpu.field import scalar as fs
+    from plonky2_tpu.gates.ops import CircuitOps, HostExtOps
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.starky.constraint_consumer import ConstraintConsumer
+
+    rng = np.random.default_rng(seed)
+    D = 2
+    cols = stark.COLUMNS
+    pis = list(public_inputs if public_inputs is not None
+               else rng.integers(0, fs.P, stark.PUBLIC_INPUTS, dtype=np.uint64))
+    rnd = lambda: tuple(int(x) for x in rng.integers(0, fs.P, D, dtype=np.uint64))
+    local = [rnd() for _ in range(cols)]
+    nxt = [rnd() for _ in range(cols)]
+    alphas = [rnd(), rnd()]
+    z_last, l_first, l_last = rnd(), rnd(), rnd()
+
+    # host evaluation
+    hops = HostExtOps()
+    consumer = ConstraintConsumer(hops, alphas, z_last, l_first, l_last)
+    frame = StarkFrame(list(local), list(nxt),
+                       [fs.ext_from_base(int(p), D) for p in pis])
+    stark.eval(hops, frame, consumer)
+    expected = consumer.accumulators()
+
+    # in-circuit evaluation, proven
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    ops = CircuitOps(b)
+    ce = b.constant_extension
+    consumer_t = ConstraintConsumer(
+        ops, [ce(a) for a in alphas], ce(z_last), ce(l_first), ce(l_last))
+    frame_t = StarkFrame([ce(v) for v in local], [ce(v) for v in nxt],
+                         [ce(fs.ext_from_base(int(p), D)) for p in pis])
+    stark.eval(ops, frame_t, consumer_t)
+    for acc in consumer_t.accumulators():
+        b.register_public_inputs(list(acc.parts))
+    data = b.build()
+    proof = data.prove(PartialWitness())
+    data.verify(proof)
+    got = [tuple(proof.public_inputs[i:i + D])
+           for i in range(0, len(proof.public_inputs), D)]
+    assert got == list(expected), "in-circuit constraint evaluation mismatch"

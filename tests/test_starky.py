@@ -126,3 +126,11 @@ def test_fibonacci_stark_keccak_hasher():
     # a Poseidon-transcript verifier must reject it
     with pytest.raises(Exception):
         verify_stark_proof(stark, proof, config)
+
+
+def test_fibonacci_stark_circuit_constraints():
+    """Native vs in-circuit constraint evaluation (reference
+    stark_testing.rs:76 test_stark_circuit_constraints)."""
+    from plonky2_tpu.starky.stark_testing import test_stark_circuit_constraints
+
+    test_stark_circuit_constraints(FibonacciStark(1 << 3), public_inputs=[0, 1, 21])
