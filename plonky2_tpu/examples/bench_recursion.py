@@ -20,18 +20,69 @@ from plonky2_tpu.recursion.recursive_verifier import (
 from plonky2_tpu.util import TimingTree
 
 
+def _num_dummy_gates(log2_size: int) -> int:
+    assert log2_size >= 1
+    return 0 if log2_size == 1 else (1 if log2_size == 2 else (1 << (log2_size - 1)) + 1)
+
+
 def dummy_proof(config: CircuitConfig, log2_size: int):
     """Proof of a circuit with ~2^size noop gates
     (reference bench_recursion.rs:202-230)."""
-    assert log2_size >= 1
-    num_dummy_gates = 0 if log2_size == 1 else (1 if log2_size == 2 else (1 << (log2_size - 1)) + 1)
     builder = CircuitBuilder(config)
-    for _ in range(num_dummy_gates):
+    for _ in range(_num_dummy_gates(log2_size)):
         builder.add_gate(NoopGate(), [])
     data = builder.build()
     proof = data.prove(PartialWitness())
     data.verify(proof)
     return proof, data.verifier_only, data.common
+
+
+def dummy_lookup_proof(config: CircuitConfig, log2_size: int):
+    """2^size-gate proof containing one lookup into the TIP5 table
+    (reference bench_recursion.rs:107-149, --lookup_type 1)."""
+    from plonky2_tpu.gadgets.lookup import TIP5_TABLE
+
+    builder = CircuitBuilder(config)
+    tip5_idx = builder.add_lookup_table_from_table(list(range(256)), list(TIP5_TABLE))
+    initial_a = builder.add_virtual_target()
+    builder.add_lookup_from_index(initial_a, tip5_idx)
+    builder.register_public_input(initial_a)
+    target = _num_dummy_gates(log2_size)
+    assert target >= builder.num_gates(), "size too small to support lookups"
+    for _ in range(builder.num_gates(), target):
+        builder.add_gate(NoopGate(), [])
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(initial_a, 2)
+    proof = data.prove(pw)
+    data.verify(proof)
+    return proof, data.verifier_only, data.common
+
+
+def dummy_many_rows_proof(config: CircuitConfig, log2_size: int):
+    """2^size-gate proof with 515 lookups on one LUT
+    (reference bench_recursion.rs:151-200, --lookup_type 2)."""
+    from plonky2_tpu.gadgets.lookup import TIP5_TABLE
+
+    builder = CircuitBuilder(config)
+    tip5_idx = builder.add_lookup_table_from_table(list(range(256)), list(TIP5_TABLE))
+    initial_a = builder.add_virtual_target()
+    output = builder.add_lookup_from_index(initial_a, tip5_idx)
+    for _ in range(514):
+        builder.add_lookup_from_index(output, 0)
+    target = _num_dummy_gates(log2_size)
+    assert target >= builder.num_gates(), "size too small to support lookups"
+    for _ in range(builder.num_gates(), target):
+        builder.add_gate(NoopGate(), [])
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(initial_a, 2)
+    proof = data.prove(pw)
+    data.verify(proof)
+    return proof, data.verifier_only, data.common
+
+
+_DUMMY_PROOF_FNS = {0: dummy_proof, 1: dummy_lookup_proof, 2: dummy_many_rows_proof}
 
 
 def recursive_proof(inner, config: CircuitConfig, min_degree_bits: int | None = None,
@@ -62,8 +113,12 @@ def recursive_proof(inner, config: CircuitConfig, min_degree_bits: int | None = 
 
 
 def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool = True,
-              repeats: int = 0):
+              repeats: int = 0, lookup_type: int = 0):
     """Chain of three proofs: inner 2^size -> middle -> outer.
+
+    lookup_type selects the inner circuit as in the reference CLI
+    (bench_recursion.rs:70-74): 0 = noop gates only, 1 = one TIP5 lookup,
+    2 = 515 lookups.
 
     First-build times include one-time costs (circuit construction, XLA
     tracing, compile-cache population). `repeats` re-proves the middle
@@ -75,15 +130,23 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
     timings = {}
 
     t0 = time.time()
-    inner = dummy_proof(config, size)
+    inner = _DUMMY_PROOF_FNS.get(lookup_type, dummy_proof)(config, size)
     timings["inner"] = time.time() - t0
     if verbose:
         print(f"inner proof (2^{size} gates): {timings['inner']:.1f}s "
               f"degree 2^{inner[2].degree_bits}", flush=True)
 
+    import logging
+
+    debug_timing = logging.getLogger().isEnabledFor(logging.DEBUG)
+
     t0 = time.time()
-    middle, middle_data = recursive_proof(inner, config, return_data=True)
+    mid_timing = TimingTree("middle recursion prove") if debug_timing else None
+    middle, middle_data = recursive_proof(inner, config, return_data=True,
+                                          timing=mid_timing)
     timings["middle"] = time.time() - t0
+    if debug_timing:
+        mid_timing.print(min_seconds=0.01)
     if verbose:
         print(f"middle recursion layer: {timings['middle']:.1f}s "
               f"degree 2^{middle[2].degree_bits}", flush=True)
@@ -118,13 +181,25 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
 
 def main():
     import argparse
+    import logging
 
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=12, help="log2 of inner gate count")
     p.add_argument("--repeats", type=int, default=0,
                    help="steady-state re-proves of the middle recursion layer")
+    p.add_argument("--lookup_type", type=int, default=0,
+                   help="0 = noops only, 1 = one lookup, 2 = 515 lookups "
+                        "(reference bench_recursion.rs:70-74)")
+    p.add_argument("-v", "--verbose", action="count", default=1,
+                   help="-v info (default), -vv debug timing trees "
+                        "(reference bench_recursion.rs:354-364)")
+    p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args()
-    run_chain(args.size, repeats=args.repeats)
+    level = (logging.WARNING if args.quiet
+             else logging.DEBUG if args.verbose >= 2 else logging.INFO)
+    logging.basicConfig(level=level, format="%(levelname).1s %(name)s: %(message)s")
+    run_chain(args.size, repeats=args.repeats, lookup_type=args.lookup_type,
+              verbose=not args.quiet)
     print("bench_recursion chain verified")
 
 
