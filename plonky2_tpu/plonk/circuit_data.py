@@ -260,3 +260,33 @@ class CircuitData:
         from plonky2_tpu.plonk.verifier import verify
 
         verify(proof_with_pis, self.verifier_only, self.common)
+
+    def compress(self, proof_with_pis):
+        """Merkle path dedup + inferred-element removal
+        (reference circuit_data.rs:206-215)."""
+        from plonky2_tpu.plonk.compressed import compress
+
+        return compress(proof_with_pis, self.verifier_only, self.common)
+
+    def decompress(self, compressed_proof):
+        from plonky2_tpu.plonk.compressed import decompress
+
+        return decompress(compressed_proof, self.verifier_only, self.common)
+
+    def verify_compressed(self, compressed_proof) -> None:
+        from plonky2_tpu.plonk.compressed import verify_compressed
+
+        verify_compressed(compressed_proof, self.verifier_only, self.common)
+
+    def to_bytes(self, registry=None) -> bytes:
+        """Full circuit data incl. prover side
+        (reference circuit_data.rs:170-178)."""
+        from plonky2_tpu.plonk.prover_serialization import circuit_data_to_bytes
+
+        return circuit_data_to_bytes(self, registry)
+
+    @staticmethod
+    def from_bytes(data: bytes, registry=None) -> "CircuitData":
+        from plonky2_tpu.plonk.prover_serialization import circuit_data_from_bytes
+
+        return circuit_data_from_bytes(data, registry)
