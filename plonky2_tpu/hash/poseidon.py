@@ -145,8 +145,16 @@ def permute_dev_sm(state):
     The [..., 12] form puts the 12-wide state on the minor (lane) axis and
     wastes 116/128 lanes; here the batch owns the native tile. Full and
     partial rounds run as separate scans so partial rounds S-box ONLY row 0
-    instead of computing all 12 and selecting."""
+    instead of computing all 12 and selecting. On real TPU the whole
+    permutation runs as ONE fused Pallas kernel — the scan form's per-round
+    small-op launches dominate latency for small batches (the device
+    challenger inside the fused FRI commit program runs batch-1 permutes)."""
     import jax
+
+    from plonky2_tpu.ops import pallas_poseidon as _pp
+
+    if state.ndim == 2 and _pp.enabled():
+        return _pp.permute_pallas(state, interpret=_pp._INTERPRET)
 
     rc = jnp.asarray(_RC_DEV)  # [rounds, 12]
     shape = (W,) + (1,) * (state.ndim - 1)

@@ -252,7 +252,7 @@ def sponge_pallas(cols: jax.Array, interpret: bool = False) -> jax.Array:
 _FLAG = os.environ.get("PLONKY2_TPU_PALLAS_POSEIDON",
                        os.environ.get("PLONKY2_TPU_PALLAS", "auto"))
 _INTERPRET = False
-_MIN_N = 2048
+_MIN_N = 8  # pallas wins from tiny sizes: one launch vs ~400 small-op launches
 
 
 def enabled() -> bool:
@@ -268,3 +268,56 @@ def enabled() -> bool:
 
 def should_use(n: int, width: int) -> bool:
     return width > 4 and n >= _MIN_N and enabled()
+
+
+def _make_permute_kernel():
+    def kernel(rc_lo_ref, rc_hi_ref, in_lo_ref, in_hi_ref,
+               out_lo_ref, out_hi_ref):
+        st_lo = in_lo_ref[:, 0]
+        st_hi = in_hi_ref[:, 0]
+        st_lo, st_hi = _permute_body(rc_lo_ref, rc_hi_ref, st_lo, st_hi)
+        out_lo_ref[...] = st_lo.reshape(W, 1, _SUB, _LANE)
+        out_hi_ref[...] = st_hi.reshape(W, 1, _SUB, _LANE)
+
+    return kernel
+
+
+_PERMUTE_KERNEL = None
+
+
+def permute_pallas(state_sm: jax.Array, interpret: bool = False) -> jax.Array:
+    """Full 30-round Poseidon permutation, state-major [12, N] u64 -> same.
+
+    One kernel launch for the whole permutation; the plain-XLA dual
+    (hash.poseidon.permute_dev_sm) emits hundreds of small ops whose launch
+    latency dominates for the small batches inside fused prover programs
+    (device challenger duplexes, small Merkle levels)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    global _PERMUTE_KERNEL
+    if _PERMUTE_KERNEL is None:
+        _PERMUTE_KERNEL = _make_permute_kernel()
+
+    w, n = state_sm.shape
+    assert w == W
+    npad = -(-n // _BLK) * _BLK
+    x = state_sm if npad == n else jnp.pad(state_sm, ((0, 0), (0, npad - n)))
+    mask = np.uint64(0xFFFFFFFF)
+    nB = npad // _BLK
+    lo = (x & mask).astype(jnp.uint32).reshape(W, nB, _SUB, _LANE)
+    hi = (x >> np.uint64(32)).astype(jnp.uint32).reshape(W, nB, _SUB, _LANE)
+    rcspec = pl.BlockSpec((N_ROUNDS, W), lambda i: (_Z, _Z),
+                          memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec((W, 1, _SUB, _LANE), lambda i: (_Z, _i32(i), _Z, _Z))
+    olo, ohi = pl.pallas_call(
+        _PERMUTE_KERNEL,
+        grid=(nB,),
+        in_specs=[rcspec, rcspec, vspec, vspec],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct((W, nB, _SUB, _LANE), jnp.uint32)] * 2,
+        interpret=interpret,
+        **_compile_kwargs(interpret),
+    )(jnp.asarray(_RC_LO), jnp.asarray(_RC_HI), lo, hi)
+    out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << np.uint64(32))
+    return out.reshape(W, npad)[:, :n]
