@@ -38,7 +38,21 @@ def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
               final_poly_coeff_len=None, max_num_query_steps=None,
               hasher=None) -> FriProof:
     """final_coeffs: ext coeff arrays (c0, c1), length 2^degree_bits (trimmed)."""
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+
     n = fri_params.lde_size
+    algebraic = (hasher is None or hasher is PoseidonHasher
+                 or getattr(hasher, "algebraic", False))
+    arities = tuple(fri_params.reduction_arity_bits)
+    if (algebraic and arities and challenger.hasher is PoseidonHasher
+            and final_poly_coeff_len is None and max_num_query_steps is None
+            and all(hasattr(t, "_layers_dev") for t in initial_merkle_trees)):
+        # Fully fused path: commit folds + final-poly observation + PoW grind
+        # + query-index draws run in ONE device program; query gathers are
+        # driven by the device-resident indices — the whole FRI argument is
+        # async dispatches + a single device->host fetch.
+        return _fri_proof_fused(initial_merkle_trees, final_coeffs,
+                                challenger, fri_params)
 
     trees, final_poly = _fri_committed_trees(
         final_coeffs, challenger, fri_params, final_poly_coeff_len, max_num_query_steps,
@@ -138,6 +152,251 @@ def _fused_commit_fn(lg_n, arities, rate_bits, shifts, cap_height, k_pending):
     import jax
 
     return jax.jit(f)
+
+
+def _grind_candidates(intermediate, witness_pos: int, start, pow_bits: int):
+    """Check candidates [start, start+CHUNK) for pow_bits leading zeros in
+    the duplexed response; returns (found u64, first candidate u64)."""
+    cand = start + jax.lax.broadcasted_iota(jnp.uint64, (_GRIND_CHUNK, 1), 0)[:, 0]
+    states = jnp.broadcast_to(intermediate, (_GRIND_CHUNK, 12))
+    states = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (_GRIND_CHUNK, 12), 1) == witness_pos,
+        cand[:, None],
+        states,
+    )
+    out = ps.permute_dev_sm(jnp.swapaxes(states, 0, 1))
+    resp = out[7]  # challenger pops state[RATE-1] first
+    threshold = np.uint64(1) << np.uint64(64 - pow_bits)
+    ok = resp < threshold
+    return jnp.any(ok).astype(jnp.uint64), cand[jnp.argmax(ok)]
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_commit_pow_fn(lg_n, arities, rate_bits, shifts, cap_height,
+                         k_pending, pow_bits, num_queries):
+    """One jit program for the ENTIRE FRI transcript after openings: initial
+    LDE, every fold step (leaves -> Merkle -> cap observe -> beta -> fold ->
+    re-LDE), final-poly observation, the PoW grind (device while_loop over
+    candidate chunks — deterministic: lowest valid witness, same as the
+    host chunk scan), the PoW response draw, and the query-index draws.
+    Returns (step arrays, packed host payload, device query indices)."""
+    from plonky2_tpu.hash.merkle import merkle_layers_dev
+    from plonky2_tpu.iop.challenger import DeviceChallenger
+
+    n_final = 1 << (lg_n - sum(arities))
+    n_lde = 1 << (lg_n + rate_bits)
+
+    def f(c0, c1, sponge, pending):
+        dc = DeviceChallenger(sponge, [pending[i] for i in range(k_pending)])
+        shift0 = fs.MULTIPLICATIVE_GROUP_GENERATOR
+        values = (ntt.lde_fft(c0, rate_bits, shift=shift0),
+                  ntt.lde_fft(c1, rate_bits, shift=shift0))
+        coeffs = (c0, c1)
+        step_arrays = []
+        caps = []
+        lg_len = lg_n + rate_bits
+        for i, ab in enumerate(arities):
+            leaves = _fold_step_leaves_impl(values, ab, lg_len)
+            layers = merkle_layers_dev(leaves, cap_height)
+            caps.append(layers[-1])
+            dc.observe_cap_rows(layers[-1])
+            b0 = dc.get_challenge()
+            b1 = dc.get_challenge()
+            coeffs, values = _fold_coeffs_and_relde_impl(
+                coeffs, (b0, b1), ab, (rate_bits, shifts[i]))
+            lg_len -= ab
+            step_arrays.append((leaves, tuple(layers)))
+
+        # observe the final polynomial's extension coefficients
+        for i in range(n_final):
+            dc.observe_element(coeffs[0][i])
+            dc.observe_element(coeffs[1][i])
+
+        # PoW grind: while_loop over candidate chunks (fri/prover.rs:152-202)
+        k = len(dc.inputs)
+        inter = (jnp.concatenate([jnp.stack(dc.inputs), dc.state[k:]])
+                 if dc.inputs else dc.state)
+
+        def cond(carry):
+            return carry[1] == 0
+
+        def body(carry):
+            start, _, _ = carry
+            found, wit = _grind_candidates(inter, k, start, pow_bits)
+            return (start + jnp.uint64(_GRIND_CHUNK), found, wit)
+
+        _, _, witness = jax.lax.while_loop(
+            cond, body, (jnp.uint64(0), jnp.uint64(0), jnp.uint64(0)))
+        dc.observe_element(witness)
+        pow_response = dc.get_challenge()
+
+        idxs = jnp.stack([dc.get_challenge() for _ in range(num_queries)])
+        idxs = idxs & jnp.uint64(n_lde - 1)  # n_lde is a power of two
+
+        packed = jnp.concatenate(
+            [jnp.ravel(c) for c in caps]
+            + [coeffs[0][:n_final], coeffs[1][:n_final],
+               witness[None], pow_response[None], idxs, dc.state])
+        return step_arrays, packed, idxs
+
+    return jax.jit(f)
+
+
+def _sim_remaining_outputs(k_pending, arities, cap_rows, n_final, num_queries):
+    """Duplex-schedule count simulation: how many squeezed outputs remain in
+    the challenger's output buffer after the fused FRI transcript (values
+    don't matter, only the observe/draw sequence)."""
+    from plonky2_tpu.hash.poseidon_constants import SPONGE_RATE
+
+    state = {"inp": k_pending, "out": 0}
+
+    def observe(times):
+        for _ in range(times):
+            state["out"] = 0
+            state["inp"] += 1
+            if state["inp"] == SPONGE_RATE:
+                state["inp"] = 0
+                state["out"] = SPONGE_RATE
+    def get(times=1):
+        for _ in range(times):
+            if state["inp"] or not state["out"]:
+                state["inp"] = 0
+                state["out"] = SPONGE_RATE
+            state["out"] -= 1
+
+    for _ in arities:
+        observe(cap_rows * 4)
+        get(2)
+    observe(2 * n_final)
+    observe(1)          # pow witness
+    get(1)              # pow response
+    get(num_queries)    # query indices
+    return state["out"]
+
+
+def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
+    from plonky2_tpu.hash.merkle import (
+        MerkleTree,
+        MerkleProof,
+        NaturalMerkleTree,
+        _gather_openings_cols_ref,
+        _gather_openings_rows_ref,
+    )
+    from plonky2_tpu.parallel import replicate
+
+    config = fri_params.config
+    rate_bits = config.rate_bits
+    cap_height = config.cap_height
+    arities = tuple(fri_params.reduction_arity_bits)
+    lg_n = coeffs[0].shape[0].bit_length() - 1
+    n_final = 1 << (lg_n - sum(arities))
+    num_queries = config.num_query_rounds
+    rows = 1 << cap_height
+
+    shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    shifts = []
+    for ab in arities:
+        shift = fs.exp(shift, 1 << ab)
+        shifts.append(shift)
+
+    pending = challenger.input_buffer
+    fn = _fused_commit_pow_fn(lg_n, arities, rate_bits, tuple(shifts),
+                              cap_height, len(pending),
+                              config.proof_of_work_bits, num_queries)
+    sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
+    pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
+    step_arrays, packed, idx_dev = fn(replicate(coeffs[0]), replicate(coeffs[1]),
+                                      replicate(sponge), replicate(pend))
+
+    # Query gathers driven by the DEVICE indices: per tree one async gather
+    # dispatch; everything lands in one flat fetch below. Trees built outside
+    # the active mesh (the constants/sigmas oracle is committed at circuit
+    # build) carry single-device placements — give each gather an index array
+    # matching ITS tree's placement (tiny async copy) so no program mixes
+    # incompatible devices.
+    def idx_for(arr):
+        sh = getattr(arr, "sharding", None)
+        if isinstance(sh, jax.sharding.SingleDeviceSharding):
+            return jax.device_put(idx_dev, next(iter(arr.devices())))
+        return idx_dev
+
+    gathers = []
+    for tree in initial_trees:
+        if isinstance(tree, NaturalMerkleTree):
+            lv, sb = _gather_openings_cols_ref(
+                tree._cols_dev, tuple(tree._layers_dev[:-1]),
+                idx_for(tree._cols_dev), (tree._lg_n, 0))
+        else:
+            lv, sb = _gather_openings_rows_ref(
+                tree.leaves, tuple(tree._layers_dev[:-1]),
+                idx_for(tree.leaves), 0)
+        gathers.append((replicate(lv), replicate(sb)))
+    shift_bits = 0
+    for i, (leaves, layers) in enumerate(step_arrays):
+        shift_bits += arities[i]
+        lv, sb = _gather_openings_rows_ref(leaves, tuple(layers[:-1]),
+                                           idx_dev, shift_bits)
+        gathers.append((replicate(lv), replicate(sb)))
+
+    flat = np.asarray(_pack_flat(
+        tuple([replicate(packed)] + [x for g_ in gathers for x in g_])))
+
+    # -- parse the single fetch ---------------------------------------------
+    pos = 0
+    caps = []
+    for _ in arities:
+        caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                     for r in range(rows)])
+        pos += rows * 4
+    final_poly = [(int(a), int(b)) for a, b in
+                  zip(flat[pos:pos + n_final],
+                      flat[pos + n_final:pos + 2 * n_final])]
+    pos += 2 * n_final
+    pow_witness = int(flat[pos]); pow_response = int(flat[pos + 1]); pos += 2
+    assert pow_response < (1 << (64 - config.proof_of_work_bits))
+    pos += num_queries  # indices (already applied on device)
+    sponge_out = flat[pos:pos + 12]; pos += 12
+
+    opens = []
+    for lv, sb in gathers:
+        q, w = lv.shape
+        levels = sb.shape[1]
+        leaves_h = flat[pos:pos + q * w].reshape(q, w); pos += q * w
+        sibs_h = flat[pos:pos + q * levels * 4].reshape(q, levels, 4)
+        pos += q * levels * 4
+        opens.append((leaves_h, sibs_h, levels))
+
+    # host challenger sync: static count of unpopped squeezed outputs
+    m = _sim_remaining_outputs(len(pending), arities, rows, n_final, num_queries)
+    challenger.sponge_state = [int(x) for x in sponge_out]
+    challenger.input_buffer = []
+    challenger.output_buffer = [int(x) for x in sponge_out[:m]]
+
+    n_init = len(initial_trees)
+    rounds = []
+    for qi in range(num_queries):
+        evals_proofs = []
+        for leaves_h, sibs_h, levels in opens[:n_init]:
+            evals_proofs.append((
+                [int(v) for v in leaves_h[qi]],
+                MerkleProof([[int(v) for v in sibs_h[qi, k]]
+                             for k in range(levels)])))
+        steps = []
+        for leaves_h, sibs_h, levels in opens[n_init:]:
+            steps.append(FriQueryStep(
+                evals=_unflatten([int(v) for v in leaves_h[qi]]),
+                merkle_proof=MerkleProof([[int(v) for v in sibs_h[qi, k]]
+                                          for k in range(levels)])))
+        rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+            steps=steps))
+
+    return FriProof(
+        commit_phase_merkle_caps=caps,
+        query_round_proofs=rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
 
 
 def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,

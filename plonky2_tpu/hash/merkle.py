@@ -227,6 +227,42 @@ def _gather_openings_rows(leaves, layers, leaf_idx, sib_idx):
                         else jnp.zeros((leaf_idx.shape[0], 0, 4), jnp.uint64))
 
 
+def _rev_bits_dev(x, bits: int):
+    """Bit-reverse each element of an int32 array within `bits` bits."""
+    r = jnp.zeros_like(x)
+    for k in range(bits):
+        r = (r << 1) | ((x >> k) & 1)
+    return r
+
+
+@persistent_jit(static_argnums=(3,))
+def _gather_openings_rows_ref(leaves, layers, idx, shift_bits):
+    """Row-major gather driven by DEVICE reference indices (u64 [q]):
+    leaf index = idx >> shift_bits; sibling index per level k = (i >> k) ^ 1.
+    Avoids a device->host fetch of the indices (they may be outputs of a
+    fused program, e.g. FRI query challenges)."""
+    i = (idx >> np.uint64(shift_bits)).astype(jnp.int32)
+    out_leaves = jnp.take(leaves, i, axis=0)
+    sibs = [jnp.take(layer, (i >> k) ^ 1, axis=0)
+            for k, layer in enumerate(layers)]
+    return out_leaves, (jnp.stack(sibs, axis=1) if sibs
+                        else jnp.zeros((i.shape[0], 0, 4), jnp.uint64))
+
+
+@persistent_jit(static_argnums=(3,))
+def _gather_openings_cols_ref(cols, layers, idx, static):
+    """Column-major (natural-order) gather driven by DEVICE reference
+    indices; static = (lg_n, shift_bits). Index remapping ref->natural
+    (bit reversal per level) happens on device."""
+    lg_n, shift_bits = static
+    i = (idx >> np.uint64(shift_bits)).astype(jnp.int32)
+    out_leaves = jnp.take(cols, _rev_bits_dev(i, lg_n), axis=1).T
+    sibs = [jnp.take(layer, _rev_bits_dev((i >> k) ^ 1, lg_n - k), axis=1).T
+            for k, layer in enumerate(layers)]
+    return out_leaves, (jnp.stack(sibs, axis=1) if sibs
+                        else jnp.zeros((i.shape[0], 0, 4), jnp.uint64))
+
+
 @persistent_jit
 def _gather_openings_cols(cols, layers, leaf_idx, sib_idx):
     """Column-major gather: cols [width, n] at leaf_idx [q]; per level k
