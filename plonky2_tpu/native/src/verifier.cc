@@ -5,12 +5,15 @@
 // and the protocol spec (reference plonk/verifier.rs:17-118,
 // fri/verifier.rs:62-241, plonk/get_challenges.rs:26-95).
 //
-//   plonky2_verify <verifier_data.bin> <proof.bin>
+//   plonky2_verify [--keccak] <verifier_data.bin> <proof.bin>
 //
 // verifier_data.bin = VerifierCircuitData (verifier_only ++ common) as
 // written by write_verifier_circuit_data; proof.bin = ProofWithPublicInputs.
 // Exits 0 and prints OK when the proof verifies; nonzero with a diagnostic
-// otherwise. PoseidonGoldilocksConfig only (the recursion-capable config).
+// otherwise. Default PoseidonGoldilocksConfig (the recursion-capable
+// config); --keccak selects KeccakGoldilocksConfig (truncated keccak-256
+// Merkle digests + hash-onion challenger, Poseidon inner hasher —
+// reference plonk/config.rs:118-126, hash/keccak.rs).
 //
 // Poseidon constant tables are generated from the Python protocol constants
 // into poseidon_tables.inc at build time (plonky2_tpu/native/__init__.py),
@@ -154,6 +157,69 @@ static void poseidon(u64 s[12]) {
 
 typedef std::array<u64, 4> Digest;
 
+// ---------------------------------------------------------------------------
+// Keccak-256 (original Keccak padding) + KeccakHash<25>
+// (reference hash/keccak.rs; tiny-keccak semantics)
+// ---------------------------------------------------------------------------
+
+static bool KECCAK = false; // config flag: KeccakGoldilocksConfig
+
+static inline u64 rotl64(u64 x, int s) { return s ? (x << s) | (x >> (64 - s)) : x; }
+
+static void keccak_f(u64 a[25]) {
+  static const u64 RC[24] = {
+      0x0000000000000001ull, 0x0000000000008082ull, 0x800000000000808aull,
+      0x8000000080008000ull, 0x000000000000808bull, 0x0000000080000001ull,
+      0x8000000080008081ull, 0x8000000000008009ull, 0x000000000000008aull,
+      0x0000000000000088ull, 0x0000000080008009ull, 0x000000008000000aull,
+      0x000000008000808bull, 0x800000000000008bull, 0x8000000000008089ull,
+      0x8000000000008003ull, 0x8000000000008002ull, 0x8000000000000080ull,
+      0x000000000000800aull, 0x800000008000000aull, 0x8000000080008081ull,
+      0x8000000000008080ull, 0x0000000080000001ull, 0x8000000080008008ull};
+  static const int ROT[25] = {0, 1, 62, 28, 27, 36, 44, 6, 55, 20, 3, 10, 43,
+                              25, 39, 41, 45, 15, 21, 8, 18, 2, 61, 56, 14};
+  for (int rnd = 0; rnd < 24; rnd++) {
+    u64 c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++) d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int i = 0; i < 25; i++) a[i] ^= d[i % 5];
+    for (int y = 0; y < 5; y++)
+      for (int x = 0; x < 5; x++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], ROT[x + 5 * y]);
+    for (int y = 0; y < 5; y++)
+      for (int x = 0; x < 5; x++)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= RC[rnd];
+  }
+}
+
+static std::array<uint8_t, 32> keccak256(const std::vector<uint8_t>& data) {
+  const size_t RATE = 136;
+  u64 st[25] = {0};
+  uint8_t* stb = (uint8_t*)st; // little-endian host assumed (x86/aarch64)
+  size_t i = 0;
+  std::vector<uint8_t> padded = data;
+  padded.push_back(0x01);
+  while (padded.size() % RATE != 0) padded.push_back(0x00);
+  padded[padded.size() - 1] |= 0x80;
+  for (i = 0; i < padded.size(); i += RATE) {
+    for (size_t j = 0; j < RATE; j++) stb[j] ^= padded[i + j];
+    keccak_f(st);
+  }
+  std::array<uint8_t, 32> out;
+  memcpy(out.data(), stb, 32);
+  return out;
+}
+
+typedef std::array<uint8_t, 25> BDigest;
+
+static std::vector<uint8_t> felts_to_bytes(const std::vector<u64>& in) {
+  std::vector<uint8_t> b(in.size() * 8);
+  for (size_t i = 0; i < in.size(); i++) memcpy(b.data() + 8 * i, &in[i], 8);
+  return b;
+}
+
 static Digest hash_no_pad(const std::vector<u64>& in) {
   u64 st[12] = {0};
   for (size_t i = 0; i < in.size(); i += SPONGE_RATE) {
@@ -179,6 +245,74 @@ static Digest two_to_one(const Digest& l, const Digest& r) {
   return hash_no_pad(in);
 }
 
+// Generic digest: Poseidon HashOut (4 felts) or KeccakHash<25> bytes,
+// selected by the KECCAK config flag.
+struct GD {
+  Digest f{0, 0, 0, 0};
+  BDigest b{};
+  bool is_b = false; // byte (keccak) digest vs felt (poseidon) digest
+  bool operator==(const GD& o) const { return is_b ? b == o.b : f == o.f; }
+  bool operator!=(const GD& o) const { return !(*this == o); }
+};
+
+static GD gd_from_felts(const Digest& d) { GD g; g.f = d; return g; }
+
+static GD gd_hash_or_noop(const std::vector<u64>& in) {
+  GD g;
+  g.is_b = KECCAK;
+  if (!KECCAK) { g.f = hash_or_noop(in); return g; }
+  if (in.size() * 8 <= 25) {
+    g.b.fill(0);
+    for (size_t i = 0; i < in.size(); i++) memcpy(g.b.data() + 8 * i, &in[i], 8);
+  } else {
+    auto h = keccak256(felts_to_bytes(in));
+    memcpy(g.b.data(), h.data(), 25);
+  }
+  return g;
+}
+
+static GD gd_two_to_one(const GD& l, const GD& r) {
+  GD g;
+  g.is_b = KECCAK;
+  if (!KECCAK) { g.f = two_to_one(l.f, r.f); return g; }
+  std::vector<uint8_t> in(l.b.begin(), l.b.end());
+  in.insert(in.end(), r.b.begin(), r.b.end());
+  auto h = keccak256(in);
+  memcpy(g.b.data(), h.data(), 25);
+  return g;
+}
+
+// 7-byte chunks -> felts (reference hash_types.rs:184-194)
+static std::vector<u64> gd_to_felts(const GD& d) {
+  if (!d.is_b) return {d.f[0], d.f[1], d.f[2], d.f[3]};
+  std::vector<u64> out;
+  for (size_t i = 0; i < 25; i += 7) {
+    u64 w = 0;
+    size_t c = std::min((size_t)7, (size_t)25 - i);
+    memcpy(&w, d.b.data() + i, c);
+    out.push_back(w);
+  }
+  return out;
+}
+
+// Keccak pseudo-permutation for the challenger: hash-onion + rejection
+// sampling into canonical felts (reference hash/keccak.rs:63-98).
+static void keccak_permute(u64 s[12]) {
+  std::vector<uint8_t> state_bytes(96);
+  for (int i = 0; i < 12; i++) memcpy(state_bytes.data() + 8 * i, &s[i], 8);
+  std::vector<u64> out;
+  while (out.size() < 12) {
+    auto digest = keccak256(state_bytes);
+    state_bytes.assign(digest.begin(), digest.end());
+    for (int i = 0; i < 4; i++) {
+      u64 w;
+      memcpy(&w, digest.data() + 8 * i, 8);
+      if (w < P) out.push_back(w);
+    }
+  }
+  for (int i = 0; i < 12; i++) s[i] = out[i];
+}
+
 // ---------------------------------------------------------------------------
 // Fiat-Shamir challenger (duplex sponge, overwrite mode;
 // reference iop/challenger.rs:16-153)
@@ -191,7 +325,7 @@ struct Challenger {
   void duplex() {
     for (size_t i = 0; i < in.size(); i++) st[i] = in[i];
     in.clear();
-    poseidon(st);
+    if (KECCAK) keccak_permute(st); else poseidon(st);
     out.assign(st, st + SPONGE_RATE);
   }
   void observe(u64 x) {
@@ -200,8 +334,8 @@ struct Challenger {
     if ((int)in.size() == SPONGE_RATE) duplex();
   }
   void observe_ext(E x) { observe(x.a); observe(x.b); }
-  void observe_digest(const Digest& d) { for (u64 x : d) observe(x); }
-  template <class Cap> void observe_cap(const Cap& cap) {
+  void observe_digest(const GD& d) { for (u64 x : gd_to_felts(d)) observe(x); }
+  void observe_cap(const std::vector<GD>& cap) {
     for (const auto& d : cap) observe_digest(d);
   }
   u64 challenge() {
@@ -245,6 +379,13 @@ struct Reader {
     return v;
   }
   Digest digest() { Digest d; for (auto& x : d) x = field(); return d; }
+  GD gdigest() {
+    GD g;
+    g.is_b = KECCAK;
+    if (KECCAK) { need(25); memcpy(g.b.data(), p + pos, 25); pos += 25; }
+    else g.f = digest();
+    return g;
+  }
   std::vector<u64> usize_vec() {
     size_t k = usize();
     std::vector<u64> v(k);
@@ -336,8 +477,8 @@ struct CommonC {
 };
 
 struct VerifierOnlyC {
-  std::vector<Digest> cap;
-  Digest circuit_digest;
+  std::vector<GD> cap;
+  GD circuit_digest;
 };
 
 static FriConfigC read_fri_config(Reader& r) {
@@ -428,7 +569,7 @@ static CommonC read_common(Reader& r) {
 // Proof types (reference plonk/proof.rs; byte layout util/serialization)
 // ---------------------------------------------------------------------------
 
-struct MerkleProofC { std::vector<Digest> sibs; };
+struct MerkleProofC { std::vector<GD> sibs; };
 struct OpeningSetC {
   std::vector<E> constants, sigmas, wires, zs, zs_next, lookup_zs,
       lookup_zs_next, partial_products, quotient;
@@ -437,13 +578,13 @@ struct FriQueryStepC { std::vector<E> evals; MerkleProofC mp; };
 struct InitialOpen { std::vector<u64> evals; MerkleProofC mp; };
 struct FriQueryRoundC { std::vector<InitialOpen> initial; std::vector<FriQueryStepC> steps; };
 struct FriProofC {
-  std::vector<std::vector<Digest>> caps;
+  std::vector<std::vector<GD>> caps;
   std::vector<FriQueryRoundC> rounds;
   std::vector<E> final_poly;
   u64 pow_witness;
 };
 struct ProofC {
-  std::vector<Digest> wires_cap, zpp_cap, quot_cap;
+  std::vector<GD> wires_cap, zpp_cap, quot_cap;
   OpeningSetC open;
   FriProofC fri;
   std::vector<u64> public_inputs;
@@ -452,12 +593,12 @@ struct ProofC {
 static MerkleProofC read_merkle_proof(Reader& r) {
   MerkleProofC m;
   size_t k = r.u8();
-  for (size_t i = 0; i < k; i++) m.sibs.push_back(r.digest());
+  for (size_t i = 0; i < k; i++) m.sibs.push_back(r.gdigest());
   return m;
 }
-static std::vector<Digest> read_cap(Reader& r, u64 cap_height) {
-  std::vector<Digest> cap(1ull << cap_height);
-  for (auto& d : cap) d = r.digest();
+static std::vector<GD> read_cap(Reader& r, u64 cap_height) {
+  std::vector<GD> cap(1ull << cap_height);
+  for (auto& d : cap) d = r.gdigest();
   return cap;
 }
 
@@ -1023,12 +1164,12 @@ static std::vector<E> eval_vanishing_poly(
 // ---------------------------------------------------------------------------
 
 static void verify_merkle_proof(const std::vector<u64>& leaf, u64 index,
-                                const std::vector<Digest>& cap,
+                                const std::vector<GD>& cap,
                                 const MerkleProofC& mp) {
-  Digest d = hash_or_noop(leaf);
+  GD d = gd_hash_or_noop(leaf);
   u64 idx = index;
   for (const auto& sib : mp.sibs) {
-    d = (idx & 1) ? two_to_one(sib, d) : two_to_one(d, sib);
+    d = (idx & 1) ? gd_two_to_one(sib, d) : gd_two_to_one(d, sib);
     idx >>= 1;
   }
   if (idx >= cap.size() || d != cap[idx])
@@ -1149,7 +1290,7 @@ static std::vector<std::vector<E>> fri_opening_values(const OpeningSetC& o) {
 
 static void verify_fri_proof(const CommonC& cd, E zeta,
                              const FriChallengesC& ch,
-                             const std::vector<const std::vector<Digest>*>& caps,
+                             const std::vector<const std::vector<GD>*>& caps,
                              const FriProofC& fp, const OpeningSetC& open) {
   const auto& params = cd.fri_params;
   if (ch.pow_response >= (1ull << (64 - params.cfg.pow_bits)))
@@ -1238,7 +1379,7 @@ static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf)
   Challenger ch;
   cd.fri_params.observe(ch);
   ch.observe_digest(vd.circuit_digest);
-  ch.observe_digest(pis_hash);
+  ch.observe_digest(gd_from_felts(pis_hash));
   ch.observe_cap(pf.wires_cap);
   std::vector<u64> betas, gammas, alphas, deltas;
   for (u64 i = 0; i < nc; i++) betas.push_back(ch.challenge());
@@ -1291,7 +1432,7 @@ static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf)
       throw std::runtime_error("Quotient identity check failed");
   }
 
-  std::vector<const std::vector<Digest>*> caps = {
+  std::vector<const std::vector<GD>*> caps = {
       &vd.cap, &pf.wires_cap, &pf.zpp_cap, &pf.quot_cap};
   verify_fri_proof(cd, zeta, fch, caps, pf.fri, pf.open);
 }
@@ -1314,21 +1455,23 @@ static std::vector<uint8_t> read_file(const char* path) {
 }
 
 int main(int argc, char** argv) {
-  if (argc != 3) {
-    fprintf(stderr, "usage: %s <verifier_data.bin> <proof.bin>\n", argv[0]);
+  int argi = 1;
+  if (argc >= 2 && strcmp(argv[1], "--keccak") == 0) { KECCAK = true; argi = 2; }
+  if (argc - argi != 2) {
+    fprintf(stderr, "usage: %s [--keccak] <verifier_data.bin> <proof.bin>\n", argv[0]);
     return 2;
   }
   try {
-    auto vd_bytes = read_file(argv[1]);
+    auto vd_bytes = read_file(argv[argi]);
     Reader vr(vd_bytes.data(), vd_bytes.size());
     VerifierOnlyC vd;
     u64 cap_height = vr.usize();
     vd.cap = read_cap(vr, cap_height);
-    vd.circuit_digest = vr.digest();
+    vd.circuit_digest = vr.gdigest();
     CommonC cd = read_common(vr);
     if (vr.pos != vr.n) throw std::runtime_error("trailing verifier-data bytes");
 
-    auto pf_bytes = read_file(argv[2]);
+    auto pf_bytes = read_file(argv[argi + 1]);
     Reader pr(pf_bytes.data(), pf_bytes.size());
     ProofC pf = read_proof(pr, cd);
     if (pr.pos != pr.n) throw std::runtime_error("trailing proof bytes");

@@ -42,6 +42,31 @@ def test_cpp_verifier_accepts_fixture(verifier_bin, name):
     assert r.stdout.strip() == "OK"
 
 
+def test_cpp_verifier_accepts_keccak_fixture(verifier_bin):
+    r = subprocess.run(
+        [verifier_bin, "--keccak", str(FIXTURES / "keccak_factorial.verifier.bin"),
+         str(FIXTURES / "keccak_factorial.proof.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "OK"
+
+
+def test_cpp_verifier_rejects_tampered_keccak(verifier_bin, tmp_path):
+    pb = bytearray((FIXTURES / "keccak_factorial.proof.bin").read_bytes())
+    rng = random.Random(11)
+    for _ in range(4):
+        b = bytearray(pb)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        t = tmp_path / "tampered_k.bin"
+        t.write_bytes(bytes(b))
+        r = subprocess.run(
+            [verifier_bin, "--keccak",
+             str(FIXTURES / "keccak_factorial.verifier.bin"), str(t)],
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0, f"tampered byte {pos} accepted"
+
+
 def test_cpp_verifier_rejects_tampered(verifier_bin, tmp_path):
     pb = bytearray((FIXTURES / "factorial.proof.bin").read_bytes())
     rng = random.Random(7)
