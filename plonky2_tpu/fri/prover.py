@@ -274,6 +274,45 @@ def _sim_remaining_outputs(k_pending, arities, cap_rows, n_final, num_queries):
     return state["out"]
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_all_fn(descs):
+    """ONE jit gathering query openings from every tree and packing them with
+    the fused-commit payload into a single flat array (one dispatch + one
+    fetch for the whole FRI). descs: per-tree ('rows', shift_bits, levels)
+    or ('cols', lg_n, shift_bits, levels)."""
+    from plonky2_tpu.hash.merkle import _rev_bits_dev
+
+    def f(idx, packed, *arrays):
+        pos = 0
+        outs = [packed]
+        for d in descs:
+            if d[0] == "rows":
+                _, shift_bits, levels = d
+                leaves = arrays[pos]
+                layers = arrays[pos + 1:pos + 1 + levels]
+                pos += 1 + levels
+                i = (idx >> np.uint64(shift_bits)).astype(jnp.int32)
+                lv = jnp.take(leaves, i, axis=0)
+                sb = [jnp.take(layer, (i >> k) ^ 1, axis=0)
+                      for k, layer in enumerate(layers)]
+            else:
+                _, lg_n, shift_bits, levels = d
+                cols = arrays[pos]
+                layers = arrays[pos + 1:pos + 1 + levels]
+                pos += 1 + levels
+                i = (idx >> np.uint64(shift_bits)).astype(jnp.int32)
+                lv = jnp.take(cols, _rev_bits_dev(i, lg_n), axis=1).T
+                sb = [jnp.take(layer, _rev_bits_dev((i >> k) ^ 1, lg_n - k),
+                               axis=1).T
+                      for k, layer in enumerate(layers)]
+            outs.append(jnp.ravel(lv).astype(jnp.uint64))
+            outs.append(jnp.ravel(jnp.stack(sb, axis=1))
+                        if sb else jnp.zeros((0,), jnp.uint64))
+        return jnp.concatenate(outs)
+
+    return jax.jit(f)
+
+
 def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
     from plonky2_tpu.hash.merkle import (
         MerkleTree,
@@ -282,7 +321,7 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
         _gather_openings_cols_ref,
         _gather_openings_rows_ref,
     )
-    from plonky2_tpu.parallel import replicate
+    from plonky2_tpu.parallel import active_mesh, replicate
 
     config = fri_params.config
     rate_bits = config.rate_bits
@@ -308,38 +347,60 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
     step_arrays, packed, idx_dev = fn(replicate(coeffs[0]), replicate(coeffs[1]),
                                       replicate(sponge), replicate(pend))
 
-    # Query gathers driven by the DEVICE indices: per tree one async gather
-    # dispatch; everything lands in one flat fetch below. Trees built outside
-    # the active mesh (the constants/sigmas oracle is committed at circuit
-    # build) carry single-device placements — give each gather an index array
-    # matching ITS tree's placement (tiny async copy) so no program mixes
-    # incompatible devices.
-    def idx_for(arr):
-        sh = getattr(arr, "sharding", None)
-        if isinstance(sh, jax.sharding.SingleDeviceSharding):
-            return jax.device_put(idx_dev, next(iter(arr.devices())))
-        return idx_dev
-
-    gathers = []
+    # Query gathers driven by the DEVICE indices. Fast path (single uniform
+    # placement, the normal single-chip prove): ONE jit gathers every tree's
+    # openings and packs them with the commit payload — the whole FRI is two
+    # dispatches and a single device->host transfer. Under a mesh (or mixed
+    # placements — the constants/sigmas oracle is committed at circuit
+    # build, outside the mesh) fall back to per-tree gathers with per-tree
+    # placed index copies so no program mixes incompatible devices.
+    trees_desc = []   # static structure for the combined program
+    tree_arrays = []  # (main, layers) per tree, same order
+    q = num_queries
+    shapes = []       # (q, width, levels) per tree for parsing
     for tree in initial_trees:
+        layers = tuple(tree._layers_dev[:-1])
         if isinstance(tree, NaturalMerkleTree):
-            lv, sb = _gather_openings_cols_ref(
-                tree._cols_dev, tuple(tree._layers_dev[:-1]),
-                idx_for(tree._cols_dev), (tree._lg_n, 0))
+            trees_desc.append(("cols", tree._lg_n, 0, len(layers)))
+            tree_arrays.append((tree._cols_dev, layers))
+            shapes.append((q, int(tree._cols_dev.shape[0]), len(layers)))
         else:
-            lv, sb = _gather_openings_rows_ref(
-                tree.leaves, tuple(tree._layers_dev[:-1]),
-                idx_for(tree.leaves), 0)
-        gathers.append((replicate(lv), replicate(sb)))
+            trees_desc.append(("rows", 0, len(layers)))
+            tree_arrays.append((tree.leaves, layers))
+            shapes.append((q, int(tree.leaves.shape[1]), len(layers)))
     shift_bits = 0
     for i, (leaves, layers) in enumerate(step_arrays):
         shift_bits += arities[i]
-        lv, sb = _gather_openings_rows_ref(leaves, tuple(layers[:-1]),
-                                           idx_dev, shift_bits)
-        gathers.append((replicate(lv), replicate(sb)))
+        trees_desc.append(("rows", shift_bits, len(layers) - 1))
+        tree_arrays.append((leaves, tuple(layers[:-1])))
+        shapes.append((q, int(leaves.shape[1]), len(layers) - 1))
 
-    flat = np.asarray(_pack_flat(
-        tuple([replicate(packed)] + [x for g_ in gathers for x in g_])))
+    placements = {getattr(a, "sharding", None)
+                  for main, layers in tree_arrays
+                  for a in (main,) + layers}
+    if active_mesh() is None and len(placements) == 1:
+        fn2 = _gather_all_fn(tuple(trees_desc))
+        flat = np.asarray(fn2(
+            idx_dev, packed,
+            *[a for main, layers in tree_arrays for a in (main,) + layers]))
+    else:
+        def idx_for(arr):
+            sh = getattr(arr, "sharding", None)
+            if isinstance(sh, jax.sharding.SingleDeviceSharding):
+                return jax.device_put(idx_dev, next(iter(arr.devices())))
+            return idx_dev
+
+        gathers = []
+        for desc, (main, layers) in zip(trees_desc, tree_arrays):
+            if desc[0] == "cols":
+                lv, sb = _gather_openings_cols_ref(
+                    main, layers, idx_for(main), (desc[1], desc[2]))
+            else:
+                lv, sb = _gather_openings_rows_ref(
+                    main, layers, idx_for(main), desc[1])
+            gathers.append((replicate(lv), replicate(sb)))
+        flat = np.asarray(_pack_flat(
+            tuple([replicate(packed)] + [x for g_ in gathers for x in g_])))
 
     # -- parse the single fetch ---------------------------------------------
     pos = 0
@@ -358,12 +419,10 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
     sponge_out = flat[pos:pos + 12]; pos += 12
 
     opens = []
-    for lv, sb in gathers:
-        q, w = lv.shape
-        levels = sb.shape[1]
-        leaves_h = flat[pos:pos + q * w].reshape(q, w); pos += q * w
-        sibs_h = flat[pos:pos + q * levels * 4].reshape(q, levels, 4)
-        pos += q * levels * 4
+    for qq, w, levels in shapes:
+        leaves_h = flat[pos:pos + qq * w].reshape(qq, w); pos += qq * w
+        sibs_h = flat[pos:pos + qq * levels * 4].reshape(qq, levels, 4)
+        pos += qq * levels * 4
         opens.append((leaves_h, sibs_h, levels))
 
     # host challenger sync: static count of unpopped squeezed outputs
