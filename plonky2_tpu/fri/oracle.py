@@ -88,8 +88,12 @@ class PolynomialBatch:
         # Under a mesh: zero-pad the poly axis to a device multiple so the
         # per-poly NTTs stay local (bit-identical for the real rows), then
         # slice back before committing leaves.
-        values, num_polys = pad_shard_polys(
-            jnp.asarray(np.asarray(values, dtype=np.uint64)))
+        if not isinstance(values, jax.Array):
+            # host data -> one upload; device arrays (round-2/3 outputs) pass
+            # through untouched — np.asarray on them would be a full
+            # device->host->device round trip per commitment
+            values = jnp.asarray(np.asarray(values, dtype=np.uint64))
+        values, num_polys = pad_shard_polys(values)
         n = values.shape[-1]
         padded = num_polys != values.shape[0]
         if _algebraic(hasher):
@@ -109,8 +113,9 @@ class PolynomialBatch:
                     hasher=None) -> "PolynomialBatch":
         from plonky2_tpu.parallel import pad_shard_polys
 
-        coeffs, num_polys = pad_shard_polys(
-            jnp.asarray(np.asarray(coeffs, dtype=np.uint64)))
+        if not isinstance(coeffs, jax.Array):
+            coeffs = jnp.asarray(np.asarray(coeffs, dtype=np.uint64))
+        coeffs, num_polys = pad_shard_polys(coeffs)
         n = coeffs.shape[-1]
         padded = num_polys != coeffs.shape[0]
         if _algebraic(hasher):
@@ -228,9 +233,13 @@ def _batch_quotient(polys, alpha, point, rate_bits):
     polys: [J, n] base coefficients; alpha, point: u64[2] ext scalars.
     Returns ext coeff arrays (q0, q1) of length n (degree <= n-1, top zero).
     """
+    return _batch_quotient_impl(polys, (alpha[0], alpha[1]),
+                                (point[0], point[1]), rate_bits)
+
+
+def _batch_quotient_impl(polys, alpha, z, rate_bits):
+    """Traceable body of `_batch_quotient` (alpha/z as 0-d scalar pairs)."""
     J, n = polys.shape
-    alpha = (alpha[0], alpha[1])
-    z = (point[0], point[1])
 
     # composition poly coeffs: comp = sum_j alpha^j * f_j   (ext coeffs)
     ap0, ap1 = g.ext2_powers(alpha, J)  # [J]
@@ -262,3 +271,46 @@ def _batch_quotient(polys, alpha, point, rate_bits):
     q0 = ntt.coset_ifft(qv[0])[:n]
     q1 = ntt.coset_ifft(qv[1])[:n]
     return q0, q1
+
+
+def _ext2_pow_static(x, e: int):
+    """x^e for device ext scalar pair x and STATIC exponent (square-multiply,
+    unrolled at trace time)."""
+    import jax.numpy as jnp
+
+    acc = (jnp.uint64(1), jnp.uint64(0))
+    for bit in bin(e)[2:]:
+        acc = g.ext2_mul(acc, acc)
+        if bit == "1":
+            acc = g.ext2_mul(acc, x)
+    return acc
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _final_poly_fused_fn(structure, rate_bits: int):
+    """ONE jit computing the FRI final polynomial from device challenges:
+    per-batch composition quotients (reference fri/oracle.rs:176-237 +
+    util/reducing.rs:100 shift_poly semantics) with alpha and the opening
+    points as device scalars, so the whole opening argument runs without a
+    host round trip. structure: per batch, a tuple of flat row indices into
+    the vertically-stacked oracle coefficient matrices; batch 0 opens at
+    zeta (zz[0:2]), batch 1 at g*zeta (zz[2:4])."""
+    import jax
+
+    def f(alpha, zz, cs, wires, zs_pp, quot):
+        mats = (cs, wires, zs_pp, quot)
+        n = cs.shape[-1]
+        a = (alpha[0], alpha[1])
+        final = (jnp.zeros((n,), jnp.uint64), jnp.zeros((n,), jnp.uint64))
+        for bi, polys in enumerate(structure):
+            point = (zz[0], zz[1]) if bi == 0 else (zz[2], zz[3])
+            stacked = jnp.stack([mats[oi][pi] for oi, pi in polys])
+            q = _batch_quotient_impl(stacked, a, point, rate_bits)
+            shift = _ext2_pow_static(a, len(polys))
+            final = g.ext2_add(g.ext2_mul(shift, final), q)
+        return final[0], final[1]
+
+    return jax.jit(f)

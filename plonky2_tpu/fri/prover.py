@@ -52,7 +52,7 @@ def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
         # driven by the device-resident indices — the whole FRI argument is
         # async dispatches + a single device->host fetch.
         return _fri_proof_fused(initial_merkle_trees, final_coeffs,
-                                challenger, fri_params)
+                                challenger, fri_params)[0]
 
     trees, final_poly = _fri_committed_trees(
         final_coeffs, challenger, fri_params, final_poly_coeff_len, max_num_query_steps,
@@ -282,9 +282,9 @@ def _gather_all_fn(descs):
     or ('cols', lg_n, shift_bits, levels)."""
     from plonky2_tpu.hash.merkle import _rev_bits_dev
 
-    def f(idx, packed, *arrays):
+    def f(idx, packed, extra, *arrays):
         pos = 0
-        outs = [packed]
+        outs = [extra, packed]
         for d in descs:
             if d[0] == "rows":
                 _, shift_bits, levels = d
@@ -313,7 +313,17 @@ def _gather_all_fn(descs):
     return jax.jit(f)
 
 
-def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
+def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
+                     device_state=None, extra_payload=None):
+    """Returns (FriProof, extra_host) where extra_host is the fetched
+    `extra_payload` prefix (None when no payload was given).
+
+    device_state=(sponge [12] device, pending list of 0-d device scalars)
+    continues a DEVICE-resident transcript (the fully-fused prove path in
+    plonk/prover.py) instead of loading the host challenger's state;
+    `challenger` may then be None and no host state is synced back.
+    extra_payload: flat u64 device array prepended to the single fetch —
+    the prove-level payload (caps, openings, zeta) rides the FRI transfer."""
     from plonky2_tpu.hash.merkle import (
         MerkleTree,
         MerkleProof,
@@ -338,12 +348,19 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
         shift = fs.exp(shift, 1 << ab)
         shifts.append(shift)
 
-    pending = challenger.input_buffer
+    if device_state is not None:
+        sponge, pend_list = device_state
+        k_pending = len(pend_list)
+        pend = (jnp.stack(pend_list) if pend_list
+                else jnp.zeros((0,), dtype=jnp.uint64))
+    else:
+        pending = challenger.input_buffer
+        k_pending = len(pending)
+        sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
+        pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
     fn = _fused_commit_pow_fn(lg_n, arities, rate_bits, tuple(shifts),
-                              cap_height, len(pending),
+                              cap_height, k_pending,
                               config.proof_of_work_bits, num_queries)
-    sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
-    pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
     step_arrays, packed, idx_dev = fn(replicate(coeffs[0]), replicate(coeffs[1]),
                                       replicate(sponge), replicate(pend))
 
@@ -375,13 +392,16 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params) -> FriProof:
         tree_arrays.append((leaves, tuple(layers[:-1])))
         shapes.append((q, int(leaves.shape[1]), len(layers) - 1))
 
+    extra = (extra_payload if extra_payload is not None
+             else jnp.zeros((0,), dtype=jnp.uint64))
+    n_extra = int(extra.shape[0])
     placements = {getattr(a, "sharding", None)
                   for main, layers in tree_arrays
                   for a in (main,) + layers}
     if active_mesh() is None and len(placements) == 1:
         fn2 = _gather_all_fn(tuple(trees_desc))
         flat = np.asarray(fn2(
-            idx_dev, packed,
+            idx_dev, packed, extra,
             *[a for main, layers in tree_arrays for a in (main,) + layers]))
     else:
         def idx_for(arr):

@@ -145,3 +145,48 @@ class DeviceChallenger:
         self.state = st
         self.inputs = []
         self.outputs = [st[i] for i in range(SPONGE_RATE)]
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def cap_boundary_fn(k_pending: int, cap_height: int, natural: bool,
+                    n_draws: int):
+    """One cached jit for a prover phase boundary: absorb one Merkle cap into
+    the device-resident transcript, then draw `n_draws` challenges — the
+    Fiat-Shamir step between commitment rounds (reference plonk/prover.rs
+    observe_cap + get_n_challenges) WITHOUT fetching the cap to host.
+
+    cap: natural=True takes the NaturalMerkleTree device cap layout
+    [4, 2^cap_height] (reference row order is the bit-reversed column);
+    natural=False takes row-major [2^cap_height, 4] digests.
+
+    Returns (sponge_state [12], pending [k_out], draws [n_draws]). The
+    pending count after any draw is 0 (duplexing flushes inputs); with
+    n_draws=0 it is (k_pending + 4*2^cap_height) % SPONGE_RATE — static
+    either way, so callers thread it to the next boundary."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky2_tpu.util import reverse_bits
+
+    C = 1 << cap_height
+
+    def f(sponge, pending, cap):
+        dc = DeviceChallenger(sponge, [pending[i] for i in range(k_pending)])
+        if natural:
+            perm = np.asarray([reverse_bits(c, cap_height) for c in range(C)],
+                              dtype=np.int32)
+            rows = cap[:, perm].T  # [C, 4] reference digest order
+        else:
+            rows = cap
+        dc.observe_cap_rows(rows)
+        draws = [dc.get_challenge() for _ in range(n_draws)]
+        pend = (jnp.stack(dc.inputs) if dc.inputs
+                else jnp.zeros((0,), jnp.uint64))
+        out = (jnp.stack(draws) if draws else jnp.zeros((0,), jnp.uint64))
+        return dc.state, pend, out
+
+    return jax.jit(f)
