@@ -420,10 +420,12 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
                     main, layers, idx_for(main), desc[1])
             gathers.append((replicate(lv), replicate(sb)))
         flat = np.asarray(_pack_flat(
-            tuple([replicate(packed)] + [x for g_ in gathers for x in g_])))
+            tuple([replicate(extra), replicate(packed)]
+                  + [x for g_ in gathers for x in g_])))
 
     # -- parse the single fetch ---------------------------------------------
-    pos = 0
+    extra_host = flat[:n_extra] if extra_payload is not None else None
+    pos = n_extra
     caps = []
     for _ in arities:
         caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
@@ -445,11 +447,15 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
         pos += qq * levels * 4
         opens.append((leaves_h, sibs_h, levels))
 
-    # host challenger sync: static count of unpopped squeezed outputs
-    m = _sim_remaining_outputs(len(pending), arities, rows, n_final, num_queries)
-    challenger.sponge_state = [int(x) for x in sponge_out]
-    challenger.input_buffer = []
-    challenger.output_buffer = [int(x) for x in sponge_out[:m]]
+    # host challenger sync: static count of unpopped squeezed outputs.
+    # In device_state mode the transcript lives on device — no host state
+    # to sync (challenger may be None).
+    if device_state is None:
+        m = _sim_remaining_outputs(k_pending, arities, rows, n_final,
+                                   num_queries)
+        challenger.sponge_state = [int(x) for x in sponge_out]
+        challenger.input_buffer = []
+        challenger.output_buffer = [int(x) for x in sponge_out[:m]]
 
     n_init = len(initial_trees)
     rounds = []
@@ -470,12 +476,13 @@ def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
             initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
             steps=steps))
 
-    return FriProof(
+    proof = FriProof(
         commit_phase_merkle_caps=caps,
         query_round_proofs=rounds,
         final_poly=final_poly,
         pow_witness=pow_witness,
     )
+    return proof, extra_host
 
 
 def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
