@@ -286,31 +286,3 @@ def _ext2_pow_static(x, e: int):
     return acc
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
-def _final_poly_fused_fn(structure, rate_bits: int):
-    """ONE jit computing the FRI final polynomial from device challenges:
-    per-batch composition quotients (reference fri/oracle.rs:176-237 +
-    util/reducing.rs:100 shift_poly semantics) with alpha and the opening
-    points as device scalars, so the whole opening argument runs without a
-    host round trip. structure: per batch, a tuple of flat row indices into
-    the vertically-stacked oracle coefficient matrices; batch 0 opens at
-    zeta (zz[0:2]), batch 1 at g*zeta (zz[2:4])."""
-    import jax
-
-    def f(alpha, zz, cs, wires, zs_pp, quot):
-        mats = (cs, wires, zs_pp, quot)
-        n = cs.shape[-1]
-        a = (alpha[0], alpha[1])
-        final = (jnp.zeros((n,), jnp.uint64), jnp.zeros((n,), jnp.uint64))
-        for bi, polys in enumerate(structure):
-            point = (zz[0], zz[1]) if bi == 0 else (zz[2], zz[3])
-            stacked = jnp.stack([mats[oi][pi] for oi, pi in polys])
-            q = _batch_quotient_impl(stacked, a, point, rate_bits)
-            shift = _ext2_pow_static(a, len(polys))
-            final = g.ext2_add(g.ext2_mul(shift, final), q)
-        return final[0], final[1]
-
-    return jax.jit(f)

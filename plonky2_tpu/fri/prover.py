@@ -34,6 +34,15 @@ from plonky2_tpu.hash import poseidon as ps
 from plonky2_tpu.hash.merkle import MerkleTree, make_merkle_tree
 
 
+# Test hooks (tests/test_fri_path_matrix.py): _FORCE_HOST disables every
+# fused path (all configs then take the host transcript); _LAST_PATH records
+# which FRI code path the most recent proof executed — "fused" (whole FRI
+# argument in one fetch), "commit_fused" (fused commit phase, host PoW and
+# query rounds), or "host".
+_FORCE_HOST = False
+_LAST_PATH = None
+
+
 def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
               final_poly_coeff_len=None, max_num_query_steps=None,
               hasher=None) -> FriProof:
@@ -44,7 +53,8 @@ def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
     algebraic = (hasher is None or hasher is PoseidonHasher
                  or getattr(hasher, "algebraic", False))
     arities = tuple(fri_params.reduction_arity_bits)
-    if (algebraic and arities and challenger.hasher is PoseidonHasher
+    if (not _FORCE_HOST
+            and algebraic and arities and challenger.hasher is PoseidonHasher
             and final_poly_coeff_len is None and max_num_query_steps is None
             and all(hasattr(t, "_layers_dev") for t in initial_merkle_trees)):
         # Fully fused path: commit folds + final-poly observation + PoW grind
@@ -315,6 +325,14 @@ def _gather_all_fn(descs):
 
 def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
                      device_state=None, extra_payload=None):
+    global _LAST_PATH
+    _LAST_PATH = "fused"
+    return _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
+                                 device_state, extra_payload)
+
+
+def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
+                          device_state=None, extra_payload=None):
     """Returns (FriProof, extra_host) where extra_host is the fetched
     `extra_payload` prefix (None when no payload was given).
 
@@ -489,13 +507,17 @@ def _fri_committed_trees(coeffs, challenger, fri_params, final_poly_coeff_len,
                          max_num_query_steps, hasher=None):
     from plonky2_tpu.hash.hashers import PoseidonHasher
 
+    global _LAST_PATH
     algebraic = (hasher is None or hasher is PoseidonHasher
                  or getattr(hasher, "algebraic", False))
     arities = tuple(fri_params.reduction_arity_bits)
-    if algebraic and arities and challenger.hasher is PoseidonHasher:
+    if (not _FORCE_HOST and algebraic and arities
+            and challenger.hasher is PoseidonHasher):
+        _LAST_PATH = "commit_fused"
         trees, coeffs = _fri_committed_trees_fused(coeffs, challenger,
                                                    fri_params, arities)
     else:
+        _LAST_PATH = "host"
         trees, coeffs = _fri_committed_trees_host(coeffs, challenger,
                                                   fri_params, hasher)
 

@@ -153,14 +153,26 @@ class MerkleTree:
         leaves = jnp.asarray(np.asarray(leaves, dtype=np.uint64))
         self.leaves = leaves
         self.cap_height = cap_height
-        # Layers stay on device; only the (tiny) cap is fetched eagerly —
-        # a full-layer fetch costs seconds over the axon tunnel. Queries go
-        # through open_many (one batched device gather); leaf()/prove() are
-        # lazy-fetch fallbacks.
+        # Layers stay on device (a full-layer fetch costs seconds over the
+        # axon tunnel); the cap is fetched LAZILY — the fused prove path
+        # never touches it on host (caps ride the single FRI fetch). Queries
+        # go through open_many (one batched device gather); leaf()/prove()
+        # are lazy-fetch fallbacks.
         self._layers_dev = _build_jit(leaves, cap_height)
         self._layers_host = None
-        self.cap = [[int(v) for v in row]
-                    for row in np.asarray(self._layers_dev[-1])]
+        self._cap_host = None
+
+    @property
+    def cap(self):
+        if self._cap_host is None:
+            self._cap_host = [[int(v) for v in row]
+                              for row in np.asarray(self._layers_dev[-1])]
+        return self._cap_host
+
+    @property
+    def cap_dev(self):
+        """Device cap layer, row-major [2^cap_height, 4] reference order."""
+        return self._layers_dev[-1]
 
     @property
     def _layers(self):
@@ -292,17 +304,30 @@ class NaturalMerkleTree:
         self._lg_n = n.bit_length() - 1
         assert 1 << self._lg_n == n, "leaf count must be a power of two"
         assert cap_height <= self._lg_n
-        # Layers and leaf columns stay on device; only the cap is fetched
-        # eagerly (a full-layer fetch costs seconds over the axon tunnel).
+        # Layers and leaf columns stay on device (a full-layer fetch costs
+        # seconds over the axon tunnel); the cap is fetched LAZILY so the
+        # fused prove path pays no per-commitment round trip.
         self._layers_dev = _build_natural_jit(cols, cap_height)
         self._cols = None  # host cache; [width, n] natural order
         self._cols_dev = cols
         self._layers_host = None
-        cap_nat = np.asarray(self._layers_dev[-1])
-        self.cap = [
-            [int(v) for v in cap_nat[:, reverse_bits(c, cap_height)]]
-            for c in range(1 << cap_height)
-        ]
+        self._cap_host = None
+
+    @property
+    def cap(self):
+        if self._cap_host is None:
+            cap_nat = np.asarray(self._layers_dev[-1])
+            self._cap_host = [
+                [int(v) for v in cap_nat[:, reverse_bits(c, self.cap_height)]]
+                for c in range(1 << self.cap_height)
+            ]
+        return self._cap_host
+
+    @property
+    def cap_dev(self):
+        """Device cap layer in the NATURAL layout [4, 2^cap_height]
+        (reference digest row c = column rev(c))."""
+        return self._layers_dev[-1]
 
     @property
     def _layers(self):
@@ -436,7 +461,7 @@ def merkle_tree_from_device(leaves, layers, cap_height: int, cap_host) -> Merkle
     t.cap_height = cap_height
     t._layers_dev = list(layers)
     t._layers_host = None
-    t.cap = cap_host
+    t._cap_host = cap_host
     return t
 
 

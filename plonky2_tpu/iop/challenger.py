@@ -162,10 +162,13 @@ def cap_boundary_fn(k_pending: int, cap_height: int, natural: bool,
     [4, 2^cap_height] (reference row order is the bit-reversed column);
     natural=False takes row-major [2^cap_height, 4] digests.
 
-    Returns (sponge_state [12], pending [k_out], draws [n_draws]). The
-    pending count after any draw is 0 (duplexing flushes inputs); with
-    n_draws=0 it is (k_pending + 4*2^cap_height) % SPONGE_RATE — static
-    either way, so callers thread it to the next boundary."""
+    Returns (sponge_state [12], pending [k_out], draws [n_draws],
+    cap_rows [2^cap_height, 4] in reference digest order — so the proof's
+    cap bytes can ride a later packed fetch instead of their own round
+    trip). The pending count after any draw is 0 (duplexing flushes
+    inputs); with n_draws=0 it is (k_pending + 4*2^cap_height) %
+    SPONGE_RATE — static either way, so callers thread it to the next
+    boundary."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -187,6 +190,6 @@ def cap_boundary_fn(k_pending: int, cap_height: int, natural: bool,
         pend = (jnp.stack(dc.inputs) if dc.inputs
                 else jnp.zeros((0,), jnp.uint64))
         out = (jnp.stack(draws) if draws else jnp.zeros((0,), jnp.uint64))
-        return dc.state, pend, out
+        return dc.state, pend, out, rows
 
     return jax.jit(f)

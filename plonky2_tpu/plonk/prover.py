@@ -19,6 +19,7 @@ Fiat-Shamir structure.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -47,6 +48,11 @@ from plonky2_tpu.plonk.vanishing_poly import (
     eval_vanishing_poly,
 )
 from plonky2_tpu.util import TimingTree
+
+
+# Test introspection (tests/test_fri_path_matrix.py): which transcript the
+# last prove used — "fused" (device-resident DeviceChallenger) or "host".
+_LAST_TRANSCRIPT = None
 
 
 def set_lookup_wires(prover_data, common, pw) -> None:
@@ -187,6 +193,15 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     common.fri_params.observe(challenger)
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
+
+    global _LAST_TRANSCRIPT
+    if _can_fuse_transcript(common, hasher, has_lookup, prover_data,
+                            wires_commitment):
+        _LAST_TRANSCRIPT = "fused"
+        return _prove_fused(prover_data, common, challenger, wires_commitment,
+                            witness, public_inputs, public_inputs_hash, timing)
+
+    _LAST_TRANSCRIPT = "host"
     challenger.observe_cap(wires_commitment.merkle_tree.cap)
 
     betas = challenger.get_n_challenges(num_challenges)
@@ -340,9 +355,12 @@ def _all_partial_products_and_zs(wires_values_routed, prover_data, common, betas
     sigmas = shard_lanes(jnp.asarray(prover_data.sigmas))
     k_is = replicate(jnp.asarray(np.asarray(common.k_is, dtype=np.uint64)))
     subgroup = shard_lanes(jnp.asarray(np.asarray(prover_data.subgroup, dtype=np.uint64)))
-    for beta, gamma in zip(betas, gammas):
-        bg = jnp.asarray(np.asarray([beta, gamma], dtype=np.uint64))
-        z, pp = _round2_one_challenge(wires_values_routed, sigmas, k_is, subgroup, bg, qdf)
+    device_draws = isinstance(betas, jax.Array)  # fused transcript path
+    for i in range(common.config.num_challenges):
+        bg = (jnp.stack([betas[i], gammas[i]]) if device_draws
+              else jnp.asarray(np.asarray([betas[i], gammas[i]], dtype=np.uint64)))
+        z, pp = _round2_one_challenge(wires_values_routed, sigmas, k_is, subgroup,
+                                      replicate(bg), qdf)
         zs.append(z)
         pps.append(pp)
     return jnp.concatenate([jnp.stack(zs)] + pps, axis=0)
@@ -569,11 +587,13 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
         lut_re_evals = np.zeros((nc, 0), dtype=np.uint64)
         deltas_np = np.zeros((0,), dtype=np.uint64)
 
+    def _draws(x):  # host ints or device draws from the fused transcript
+        return x if isinstance(x, jax.Array) else jnp.asarray(
+            np.asarray(x, dtype=np.uint64))
+
     return fn(
         cs_q, wires_q, zs_pp_q,
-        jnp.asarray(np.asarray(betas, dtype=np.uint64)),
-        jnp.asarray(np.asarray(gammas, dtype=np.uint64)),
-        jnp.asarray(np.asarray(alphas, dtype=np.uint64)),
+        _draws(betas), _draws(gammas), _draws(alphas),
         jnp.asarray(deltas_np), jnp.asarray(lut_re_evals),
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
         shard_lanes(jnp.asarray(xs)), shard_lanes(jnp.asarray(z_h)),
@@ -658,3 +678,234 @@ def _opening_set(zeta, g_root, constants_sigmas_commitment, wires_commitment,
         lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
         lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
     )
+
+
+# -- fully fused prove: device-resident Fiat-Shamir transcript ----------------
+
+
+def _can_fuse_transcript(common, hasher, has_lookup, prover_data,
+                         wires_commitment) -> bool:
+    """The fused path needs: Poseidon transcript (DeviceChallenger), no
+    lookups (their RE/SLDC row recurrences and LUT evals run on host and
+    need host delta challenges), >=1 FRI fold step (the fused FRI program),
+    and device-resident natural-layout trees on every oracle."""
+    from plonky2_tpu.fri import prover as fri_prover
+    from plonky2_tpu.hash.hashers import PoseidonHasher
+    from plonky2_tpu.hash.merkle import NaturalMerkleTree
+
+    if fri_prover._FORCE_HOST:
+        return False
+    if hasher is not PoseidonHasher or has_lookup:
+        return False
+    if not tuple(common.fri_params.reduction_arity_bits):
+        return False
+    cs_tree = prover_data.constants_sigmas_commitment.merkle_tree
+    return (isinstance(wires_commitment.merkle_tree, NaturalMerkleTree)
+            and isinstance(cs_tree, NaturalMerkleTree))
+
+
+@functools.lru_cache(maxsize=None)
+def _openings_final_fn(n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits):
+    """ONE jit for the opening argument's transcript segment: evaluate every
+    committed polynomial at zeta / g*zeta, observe the openings in
+    FRI-openings order (reference plonk/proof.rs:352-393), draw the FRI
+    alpha, and compute the FRI final polynomial (per-batch composition
+    quotients with ReducingFactor::shift_poly semantics, reference
+    fri/oracle.rs:176-237 + util/reducing.rs:100) — all on device scalars,
+    no host round trip. No-lookup layout only (see _can_fuse_transcript)."""
+    from plonky2_tpu.fri.oracle import _batch_quotient_impl, _ext2_pow_static
+    from plonky2_tpu.iop.challenger import DeviceChallenger
+
+    g_root = fs.primitive_root_of_unity(degree_bits)
+
+    # packed layout: [cs@z | wires@z | zs_pp@z | zs_pp@gz | quot@z]
+    o_cs, o_w = 0, n_cs
+    o_z, o_zg, o_q = n_cs + n_w, n_cs + n_w + n_z, n_cs + n_w + 2 * n_z
+    # batch 0 = all polys @ zeta (fri_all_polys order), batch 1 = Zs @ g*zeta
+    batch0 = (list(range(o_cs, o_cs + n_cs)) + list(range(o_w, o_w + n_w))
+              + list(range(o_z, o_z + n_z)) + list(range(o_q, o_q + n_q)))
+    batch1 = list(range(o_zg, o_zg + nc))
+    # the same polys as (oracle, row) pairs for the final-poly quotients
+    mats0 = ([(0, i) for i in range(n_cs)] + [(1, i) for i in range(n_w)]
+             + [(2, i) for i in range(n_z)] + [(3, i) for i in range(n_q)])
+    mats1 = [(2, i) for i in range(nc)]
+
+    def f(sponge, zdraw, cs, wires, zs_pp, quot):
+        z = (zdraw[0], zdraw[1])
+        gr = jnp.asarray(np.uint64(g_root))
+        gz = (g.mul(gr, zdraw[0]), g.mul(gr, zdraw[1]))
+        outs0, outs1 = [], []
+        for coeffs, point in ((cs, z), (wires, z), (zs_pp, z), (zs_pp, gz),
+                              (quot, z)):
+            n = coeffs.shape[-1]
+            zp0, zp1 = g.ext2_powers(point, n)
+            outs0.append(g.sum_mod(g.mul(coeffs, zp0[None, :]), axis=1))
+            outs1.append(g.sum_mod(g.mul(coeffs, zp1[None, :]), axis=1))
+        p0 = jnp.concatenate(outs0)
+        p1 = jnp.concatenate(outs1)
+
+        dc = DeviceChallenger(sponge, [])
+        for idx in batch0 + batch1:
+            dc.observe_element(p0[idx])
+            dc.observe_element(p1[idx])
+        alpha = (dc.get_challenge(), dc.get_challenge())
+
+        mats = (cs, wires, zs_pp, quot)
+        n = cs.shape[-1]
+        final = (jnp.zeros((n,), jnp.uint64), jnp.zeros((n,), jnp.uint64))
+        for point, polys in ((z, mats0), (gz, mats1)):
+            stacked = jnp.stack([mats[oi][pi] for oi, pi in polys])
+            q = _batch_quotient_impl(stacked, alpha, point, rate_bits)
+            shift = _ext2_pow_static(alpha, len(polys))
+            final = g.ext2_add(g.ext2_mul(shift, final), q)
+
+        packed = jnp.stack([p0, p1])
+        zz = jnp.stack([zdraw[0], zdraw[1], gz[0], gz[1]])
+        return packed, zz, final[0], final[1], dc.state
+
+    return jax.jit(f)
+
+
+def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
+                 public_inputs, public_inputs_hash,
+                 timing) -> ProofWithPublicInputs:
+    """Prove with a DEVICE-resident Fiat-Shamir transcript: after the host
+    observes the pre-cap prefix (params, digest, PI hash), every transcript
+    interaction — the three commitment caps, the openings, the FRI fold
+    betas, PoW and query draws — runs inside jitted programs
+    (DeviceChallenger), and the caps + openings + zeta + the whole FRI
+    argument return in ONE device->host fetch. Byte-identical proofs to the
+    host path (the reference runs the same transcript on host between rayon
+    phases, plonk/prover.rs:113-815); this removes the per-phase
+    device->host round trips that dominated warm-prove latency over the
+    axon tunnel (ROOFLINE.md)."""
+    from plonky2_tpu.fri.prover import _fri_proof_fused
+    from plonky2_tpu.iop.challenger import cap_boundary_fn
+    from plonky2_tpu.parallel import replicate, shard_lanes
+
+    config = common.config
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    nc = config.num_challenges
+    zk = config.zero_knowledge
+    degree = common.degree
+    hasher = common.generic_config().hasher
+    C = 1 << cap_height
+
+    # move the host transcript prefix onto device
+    k0 = len(challenger.input_buffer)
+    sponge = replicate(jnp.asarray(
+        np.asarray(challenger.sponge_state, dtype=np.uint64)))
+    pend = replicate(jnp.asarray(
+        np.asarray(challenger.input_buffer, dtype=np.uint64)))
+    no_pend = replicate(jnp.zeros((0,), dtype=jnp.uint64))
+
+    # boundary 1: absorb wires cap -> betas, gammas
+    b1 = cap_boundary_fn(k0, cap_height, True, 2 * nc)
+    sponge, _, draws1, cap_w = b1(
+        sponge, pend, replicate(wires_commitment.merkle_tree.cap_dev))
+    betas, gammas = draws1[:nc], draws1[nc:]
+
+    with timing.scope("partial products and Zs"):
+        wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
+        zs_partial_products = _all_partial_products_and_zs(
+            wires_values_routed, prover_data, common, betas, gammas)
+
+    with timing.scope("zs_partial_products commitment"):
+        partial_products_zs_commitment = PolynomialBatch.from_values(
+            zs_partial_products, rate_bits,
+            zk and pcfg.ZS_PARTIAL_PRODUCTS.blinding, cap_height,
+            hasher=hasher)
+
+    # boundary 2: absorb Z/partial-products cap -> alphas
+    b2 = cap_boundary_fn(0, cap_height, True, nc)
+    sponge, _, alphas, cap_z = b2(
+        sponge, no_pend,
+        replicate(partial_products_zs_commitment.merkle_tree.cap_dev))
+
+    with timing.scope("quotient polys"):
+        quotient_chunks = _compute_quotient_polys(
+            prover_data, common, prover_data.constants_sigmas_commitment,
+            wires_commitment, partial_products_zs_commitment,
+            public_inputs_hash, betas, gammas, alphas)
+
+    with timing.scope("quotient commitment"):
+        quotient_polys_commitment = PolynomialBatch.from_coeffs(
+            quotient_chunks, rate_bits, zk and pcfg.QUOTIENT.blinding,
+            cap_height, hasher=hasher)
+
+    # boundary 3: absorb quotient cap -> zeta
+    b3 = cap_boundary_fn(0, cap_height, True, 2)
+    sponge, _, zdraw, cap_q = b3(
+        sponge, no_pend,
+        replicate(quotient_polys_commitment.merkle_tree.cap_dev))
+
+    n_cs = int(prover_data.constants_sigmas_commitment.polynomials.shape[0])
+    n_w = int(wires_commitment.polynomials.shape[0])
+    n_z = int(partial_products_zs_commitment.polynomials.shape[0])
+    n_q = int(quotient_polys_commitment.polynomials.shape[0])
+    with timing.scope("openings + final poly"):
+        fn = _openings_final_fn(n_cs, n_w, n_z, n_q, nc, common.degree_bits,
+                                rate_bits)
+        packed, zz, f0, f1, sponge = fn(
+            sponge, zdraw,
+            shard_lanes(prover_data.constants_sigmas_commitment.polynomials),
+            shard_lanes(wires_commitment.polynomials),
+            shard_lanes(partial_products_zs_commitment.polynomials),
+            shard_lanes(quotient_polys_commitment.polynomials))
+
+    total = n_cs + n_w + 2 * n_z + n_q
+    extra = jnp.concatenate([
+        jnp.ravel(cap_w), jnp.ravel(cap_z), jnp.ravel(cap_q),
+        jnp.ravel(packed), zz])
+
+    with timing.scope("FRI opening proof"):
+        opening_proof, extra_host = _fri_proof_fused(
+            [prover_data.constants_sigmas_commitment.merkle_tree,
+             wires_commitment.merkle_tree,
+             partial_products_zs_commitment.merkle_tree,
+             quotient_polys_commitment.merkle_tree],
+            (f0, f1), None, common.fri_params,
+            device_state=(sponge, []), extra_payload=extra)
+
+    # -- parse the payload (the proof's host-side pieces) --------------------
+    flat = extra_host
+    caps = []
+    pos = 0
+    for _ in range(3):
+        caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                     for r in range(C)])
+        pos += C * 4
+    packed_h = flat[pos:pos + 2 * total].reshape(2, total)
+    pos += 2 * total
+    zz_h = [int(v) for v in flat[pos:pos + 4]]
+    zeta = (zz_h[0], zz_h[1])
+    # reference plonk/prover.rs:306-314 checks before openings; the result
+    # is transcript-deterministic so checking after the fetch is equivalent
+    if fs.ext_exp(zeta, degree) == fs.ext_one(2):
+        raise ValueError("Opening point is in the subgroup.")
+
+    off = np.cumsum([0, n_cs, n_w, n_z, n_z])
+    segs = [[(int(a), int(b)) for a, b in zip(packed_h[0, s:e], packed_h[1, s:e])]
+            for s, e in zip(off, list(off[1:]) + [total])]
+    cs_eval, wires_eval, zs_pp_eval, zs_pp_next_eval, quot_eval = segs
+    openings = OpeningSet(
+        constants=[cs_eval[i] for i in common.constants_range()],
+        plonk_sigmas=[cs_eval[i] for i in common.sigmas_range()],
+        wires=wires_eval,
+        plonk_zs=[zs_pp_eval[i] for i in common.zs_range()],
+        plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
+        partial_products=[zs_pp_eval[i] for i in common.partial_products_range()],
+        quotient_polys=quot_eval,
+        lookup_zs=[],
+        lookup_zs_next=[],
+    )
+
+    proof = Proof(
+        wires_cap=caps[0],
+        plonk_zs_partial_products_cap=caps[1],
+        quotient_polys_cap=caps[2],
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)

@@ -1,0 +1,41 @@
+"""Differential fuzz: random circuits proved by the Python stack must be
+accepted by BOTH independent verifiers (Python and the standalone C++
+binary written only from the byte formats), and the compressed-proof round
+trip must be byte-stable. See tools/fuzz_verifiers.py for the generator.
+
+A handful of seeds run in the default suite; the full 25-seed campaign is
+marked slow (`-m slow`, also runnable as `python tools/fuzz_verifiers.py`).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from fuzz_verifiers import fuzz_one  # noqa: E402
+
+from plonky2_tpu import native  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def verifier_bin():
+    path = native.verifier_binary()
+    if path is None:
+        pytest.skip("no C++ toolchain")
+    return path
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_fuzz_cross_verify(seed, verifier_bin, tmp_path):
+    info = fuzz_one(seed, verifier_bin, str(tmp_path))
+    assert info["cpp"] == "OK"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", list(range(6, 25)))
+def test_fuzz_cross_verify_full(seed, verifier_bin, tmp_path):
+    info = fuzz_one(seed, verifier_bin, str(tmp_path))
+    assert info["cpp"] == "OK"
