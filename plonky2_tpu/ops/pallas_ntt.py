@@ -53,6 +53,11 @@ _CHEAP_MAX = 6
 _POW2 = os.environ.get("PLONKY2_TPU_PALLAS_POW2", "1") != "0"
 # run the kernel in interpret mode (CPU testing of the integrated path)
 _INTERPRET = False
+# Fold the four-step mid bit-reversals into the kernels (static VMEM row
+# permutations: the DIF phase un-reverses its output rows, the DIT phase
+# bit-reverses its input rows) so the data movement between phases is a
+# PURE transpose (ROOFLINE lever 2). "0" restores the XLA gathers.
+_FOLD_BREV = os.environ.get("PLONKY2_TPU_PALLAS_FOLDBREV", "1") != "0"
 
 
 def pallas_available() -> bool:
@@ -294,14 +299,33 @@ def _cube_planes(lg_m: int, inverse: bool = False) -> tuple[np.ndarray, np.ndarr
     return lo, hi
 
 
-def _make_kernel(lg_m: int, s: int, inverse: bool = False):
+def _brev_rows(v, lg_m: int):
+    """Static bit-reversal of the leading (row) axis of a VMEM-resident
+    array: reshape to lg_m binary axes, reverse their order, reshape back —
+    pure address movement for Mosaic (rows are whole (sublane, lane) tiles),
+    no gather."""
+    m = 1 << lg_m
+    rest = v.shape[1:]
+    v = v.reshape((2,) * lg_m + rest)
+    perm = tuple(range(lg_m - 1, -1, -1)) + tuple(range(lg_m, lg_m + len(rest)))
+    return jnp.transpose(v, perm).reshape((m,) + rest)
+
+
+def _make_kernel(lg_m: int, s: int, inverse: bool = False,
+                 pre_brev: bool = False):
     m = 1 << lg_m
 
     def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, we_ref, ce_ref,
                vlo_ref, vhi_ref, olo_ref, ohi_ref):
+        vlo = vlo_ref[...].reshape(m, s, _LANE)
+        vhi = vhi_ref[...].reshape(m, s, _LANE)
+        if pre_brev:
+            # natural-order input: bit-reverse rows in VMEM (the four-step
+            # mid pass then needs no gather, just a transpose)
+            vlo = _brev_rows(vlo, lg_m)
+            vhi = _brev_rows(vhi, lg_m)
         vlo, vhi = _stages(
-            lg_m, s,
-            vlo_ref[...].reshape(m, s, _LANE), vhi_ref[...].reshape(m, s, _LANE),
+            lg_m, s, vlo, vhi,
             wlo_ref[...], whi_ref[...], dif=False,
             clo=clo_ref[...], chi=chi_ref[...], inverse=inverse,
             wexp=we_ref[...] if _POW2 else None,
@@ -314,11 +338,12 @@ def _make_kernel(lg_m: int, s: int, inverse: bool = False):
 
 
 def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False,
-                     inverse: bool = False):
+                     inverse: bool = False, unrev_out: bool = False):
     """Phase-1 four-step kernel: optional coset-scale prologue (interleaved
     LDE), DIF stages, fused four-step twiddle epilogue — operating directly
     on the natural [B, a, b] layout (no pre-transpose, no bit-reverse
-    gather)."""
+    gather). unrev_out additionally un-bit-reverses the output rows in VMEM
+    (the twiddle table must then be in NATURAL row order)."""
     m = 1 << lg_m
 
     def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, we_ref, ce_ref,
@@ -338,6 +363,9 @@ def _make_dif_kernel(lg_m: int, s: int, with_scale: bool = False,
                            inverse=inverse,
                            wexp=we_ref[...] if _POW2 else None,
                            cexp=ce_ref[...] if _POW2 else None)
+        if unrev_out:
+            vlo = _brev_rows(vlo, lg_m)
+            vhi = _brev_rows(vhi, lg_m)
         twlo = twlo_ref[...].reshape(m, s, _LANE)
         twhi = twhi_ref[...].reshape(m, s, _LANE)
         vlo, vhi = gl_mul(vlo, vhi, twlo, twhi)
@@ -373,8 +401,10 @@ _Z = np.int32(0)
 
 
 def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
-                inverse: bool = False):
-    """DIT butterfly network on [m, nV, s, 128] planes -> same shape."""
+                inverse: bool = False, pre_brev: bool = False):
+    """DIT butterfly network on [m, nV, s, 128] planes -> same shape.
+    pre_brev: input rows are in NATURAL order; the kernel bit-reverses them
+    in VMEM first."""
     import jax.experimental.pallas as pl
 
     m = 1 << lg_m
@@ -389,7 +419,7 @@ def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
     wespec = pl.BlockSpec((we.shape[0], _LANE), lambda i: (_Z, _Z))
     cespec = pl.BlockSpec((ce.shape[0], _LANE), lambda i: (_Z, _Z))
     return pl.pallas_call(
-        _make_kernel(lg_m, s, inverse),
+        _make_kernel(lg_m, s, inverse, pre_brev),
         grid=(nV,),
         in_specs=[wspec, wspec, cspec, cspec, wespec, cespec, vspec, vspec],
         out_specs=[vspec, vspec],
@@ -429,12 +459,16 @@ def butterflies0_pallas(v: jax.Array, lg_m: int, start_stage: int = 0,
 
 @functools.lru_cache(maxsize=None)
 def _four_step_twiddle_planes(lg_n: int, lg_a: int, inverse: bool = False,
+                              natural: bool = False,
                               ) -> tuple[np.ndarray, np.ndarray]:
-    """[a, b] four-step table W[k1, i2] with rows pre-permuted to the DIF
-    output order (row r holds W[brev(r), ·]); inverse folds in 1/n."""
+    """[a, b] four-step table W[k1, i2]; rows pre-permuted to the DIF output
+    order (row r holds W[brev(r), ·]) unless `natural` (the fold-brev kernel
+    un-reverses its rows BEFORE the twiddle mul); inverse folds in 1/n."""
     from plonky2_tpu.field.ntt import _four_step_twiddles, bit_reverse_perm
 
-    t = _four_step_twiddles(lg_n, lg_a, inverse)[bit_reverse_perm(lg_a)]
+    t = _four_step_twiddles(lg_n, lg_a, inverse)
+    if not natural:
+        t = t[bit_reverse_perm(lg_a)]
     return ((t & np.uint64(0xFFFFFFFF)).astype(np.uint32),
             (t >> np.uint64(32)).astype(np.uint32))
 
@@ -494,7 +528,8 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
     clo, chi = _cube_planes(lg_a, inverse)
     we = _twiddle_exp_plane(inverse)
     ce = _cube_exp_plane(inverse)
-    twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a, inverse)
+    twlo, twhi = _four_step_twiddle_planes(lg_n, lg_a, inverse,
+                                           natural=_FOLD_BREV)
 
     if scale is None:
         in_map = lambda iB, ic: (_i32(iB), _Z, _i32(ic), _Z, _Z)
@@ -528,7 +563,7 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
         in_specs += [scspec, scspec]
     lo, hi = pl.pallas_call(
         _make_dif_kernel(lg_a, s1, with_scale=scale is not None,
-                         inverse=inverse),
+                         inverse=inverse, unrev_out=_FOLD_BREV),
         grid=(B, nbc),
         in_specs=in_specs + [inspec, inspec],
         out_specs=[ospec, ospec],
@@ -537,18 +572,27 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
         **_compile_kwargs(interpret),
     )(*operands, lo, hi)
 
-    # middle data movement: un-bit-reverse phase-1 rows, transpose to
-    # [b, B, a], bit-reverse phase-2 rows — row-granular gathers only
-    brev_a = jnp.asarray(bit_reverse_perm(lg_a))
-    brev_b = jnp.asarray(bit_reverse_perm(lg_b))
+    # middle data movement between the phases. With _FOLD_BREV both
+    # bit-reversals live INSIDE the kernels as VMEM row movements (DIF
+    # un-reverses its output, DIT reverses its input), so this is a PURE
+    # transpose to [b, B, a]; otherwise two row-granular gathers ride along.
     s2 = _sublanes_for(lg_b)
     nV2 = (B * a) // (s2 * _LANE)
 
-    def mid(x):
-        x = jnp.transpose(x.reshape(B, a, b)[:, brev_a], (2, 0, 1))
-        return x[brev_b].reshape(b, nV2, s2, _LANE)
+    if _FOLD_BREV:
+        def mid(x):
+            x = jnp.transpose(x.reshape(B, a, b), (2, 0, 1))
+            return x.reshape(b, nV2, s2, _LANE)
+    else:
+        brev_a = jnp.asarray(bit_reverse_perm(lg_a))
+        brev_b = jnp.asarray(bit_reverse_perm(lg_b))
 
-    lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret, inverse)
+        def mid(x):
+            x = jnp.transpose(x.reshape(B, a, b)[:, brev_a], (2, 0, 1))
+            return x[brev_b].reshape(b, nV2, s2, _LANE)
+
+    lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret, inverse,
+                         pre_brev=_FOLD_BREV)
 
     out = join_planes(lo, hi)
     if interleave:

@@ -9,7 +9,14 @@ proofs agree bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+# `log`-crate analog (reference uses debug!/info! via env_logger; examples
+# expose -v/-vv, bench_recursion.rs:354-364). Enable with
+# logging.basicConfig(level=logging.DEBUG) or the examples' -v/-vv flags.
+_log = logging.getLogger("plonky2_tpu.builder")
 
 from plonky2_tpu.field import scalar as fs
 from plonky2_tpu.fri.oracle import PolynomialBatch
@@ -634,9 +641,21 @@ class CircuitBuilder(ExtensionArithmeticMixin, RecursionGadgetsMixin, LookupMixi
             self.add_simple_generator(const_gen)
 
         # 3. blind + pad to power of two
+        degree_before = len(self.gate_instances)
         self._blind_and_pad()
         degree = len(self.gate_instances)
         degree_bits = log2_strict(degree)
+        # reference circuit_builder.rs:1132-1138 (info!/debug! via log crate)
+        _log.info("Degree before blinding & padding: %d", degree_before)
+        _log.info("Degree after blinding & padding: %d (2^%d)", degree,
+                  degree_bits)
+        if _log.isEnabledFor(logging.DEBUG):
+            counts: dict[str, int] = {}
+            for gi in self.gate_instances:
+                gid = gi.gate.id().split("(")[0].split(" ")[0]
+                counts[gid] = counts.get(gid, 0) + 1
+            for gid, cnt in sorted(counts.items(), key=lambda kv: -kv[1]):
+                _log.debug("  %d × %s", cnt, gid)
         fri_params = self._fri_params(degree_bits)
         assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height, (
             "FRI total reduction arity is too large."

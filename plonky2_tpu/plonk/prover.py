@@ -50,6 +50,10 @@ from plonky2_tpu.plonk.vanishing_poly import (
 from plonky2_tpu.util import TimingTree
 
 
+import logging
+
+_log = logging.getLogger("plonky2_tpu.prover")
+
 # Test introspection (tests/test_fri_path_matrix.py): which transcript the
 # last prove used — "fused" (device-resident DeviceChallenger) or "host".
 _LAST_TRANSCRIPT = None
@@ -198,8 +202,11 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     if _can_fuse_transcript(common, hasher, has_lookup, prover_data,
                             wires_commitment):
         _LAST_TRANSCRIPT = "fused"
-        return _prove_fused(prover_data, common, challenger, wires_commitment,
-                            witness, public_inputs, public_inputs_hash, timing)
+        out = _prove_fused(prover_data, common, challenger, wires_commitment,
+                           witness, public_inputs, public_inputs_hash, timing)
+        if _log.isEnabledFor(logging.DEBUG):
+            timing.print(min_seconds=0.01)
+        return out
 
     _LAST_TRANSCRIPT = "host"
     challenger.observe_cap(wires_commitment.merkle_tree.cap)
@@ -296,6 +303,8 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
         openings=openings,
         opening_proof=opening_proof,
     )
+    if _log.isEnabledFor(logging.DEBUG):
+        timing.print(min_seconds=0.01)
     return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
 
 

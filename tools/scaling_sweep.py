@@ -109,11 +109,27 @@ class _null_ctx:
 
 
 def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="1,2,4,8")
     p.add_argument("--out", default="SCALING.json")
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--real", action="store_true",
+                   help="use the attached accelerator devices as-is "
+                        "(default: virtual 8-device CPU mesh — the only "
+                        "multi-device option on a single-chip host)")
     args = p.parse_args()
+
+    if not args.real:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     sizes = [int(s) for s in args.sizes.split(",")]
     out = sweep(sizes, args.repeats)
     with open(args.out, "w") as f:
