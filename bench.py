@@ -158,8 +158,10 @@ def main():
         import jax
 
         if len(jax.devices()) > 1:
+            import os
             import sys
-            sys.path.insert(0, "tools")
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
             from scaling_sweep import sweep
 
             n = len(jax.devices())

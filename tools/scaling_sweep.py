@@ -61,6 +61,10 @@ def sweep(mesh_sizes, warm_repeats=2):
     results = []
     ref_bytes = None
     for n in mesh_sizes:
+        # XLA:CPU aborts/segfaults once too many compiled executables
+        # accumulate in-process (root-caused round 2, commit b274749);
+        # each mesh size recompiles everything anyway, so drop them.
+        jax.clear_caches()
         ctx = use_mesh(make_mesh(n)) if n > 1 else _null_ctx()
         times = []
         with ctx:
