@@ -324,15 +324,26 @@ def _gather_all_fn(descs):
 
 
 def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
-                     device_state=None, extra_payload=None):
+                     device_state=None, extra_payload=None, timing=None):
     global _LAST_PATH
     _LAST_PATH = "fused"
     return _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
-                                 device_state, extra_payload)
+                                 device_state, extra_payload, timing)
+
+
+class _NullScope:
+    def scope(self, name):
+        return self
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
-                          device_state=None, extra_payload=None):
+                          device_state=None, extra_payload=None, timing=None):
     """Returns (FriProof, extra_host) where extra_host is the fetched
     `extra_payload` prefix (None when no payload was given).
 
@@ -351,6 +362,7 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
     )
     from plonky2_tpu.parallel import active_mesh, replicate
 
+    timing = timing or _NullScope()
     config = fri_params.config
     rate_bits = config.rate_bits
     cap_height = config.cap_height
@@ -376,11 +388,13 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
         k_pending = len(pending)
         sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
         pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
-    fn = _fused_commit_pow_fn(lg_n, arities, rate_bits, tuple(shifts),
-                              cap_height, k_pending,
-                              config.proof_of_work_bits, num_queries)
-    step_arrays, packed, idx_dev = fn(replicate(coeffs[0]), replicate(coeffs[1]),
-                                      replicate(sponge), replicate(pend))
+    with timing.scope("dispatch commit+pow+query program"):
+        fn = _fused_commit_pow_fn(lg_n, arities, rate_bits, tuple(shifts),
+                                  cap_height, k_pending,
+                                  config.proof_of_work_bits, num_queries)
+        step_arrays, packed, idx_dev = fn(replicate(coeffs[0]),
+                                          replicate(coeffs[1]),
+                                          replicate(sponge), replicate(pend))
 
     # Query gathers driven by the DEVICE indices. Fast path (single uniform
     # placement, the normal single-chip prove): ONE jit gathers every tree's
@@ -417,10 +431,13 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
                   for main, layers in tree_arrays
                   for a in (main,) + layers}
     if active_mesh() is None and len(placements) == 1:
-        fn2 = _gather_all_fn(tuple(trees_desc))
-        flat = np.asarray(fn2(
-            idx_dev, packed, extra,
-            *[a for main, layers in tree_arrays for a in (main,) + layers]))
+        with timing.scope("dispatch gather program"):
+            fn2 = _gather_all_fn(tuple(trees_desc))
+            out_dev = fn2(
+                idx_dev, packed, extra,
+                *[a for main, layers in tree_arrays for a in (main,) + layers])
+        with timing.scope("block on device + fetch"):
+            flat = np.asarray(out_dev)
     else:
         def idx_for(arr):
             sh = getattr(arr, "sharding", None)
@@ -442,6 +459,8 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
                   + [x for g_ in gathers for x in g_])))
 
     # -- parse the single fetch ---------------------------------------------
+    parse_scope = timing.scope("parse payload")
+    parse_scope.__enter__()
     extra_host = flat[:n_extra] if extra_payload is not None else None
     pos = n_extra
     caps = []
@@ -500,6 +519,7 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
         final_poly=final_poly,
         pow_witness=pow_witness,
     )
+    parse_scope.__exit__(None, None, None)
     return proof, extra_host
 
 

@@ -127,6 +127,31 @@ class ArithmeticExtensionGenerator(SimpleGenerator):
         return [Wire(self.row, w)
                 for w in ArithmeticExtensionGate.wires_ith_output(self.i)]
 
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized c0·m0·m1 + c1·addend over every (row, op-slot) in the
+        level: numpy ext2 arithmetic, one gather/scatter pair."""
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+
+        n = len(gens)
+        rows = np.fromiter((g.row for g in gens), np.int64, n)
+        base = np.fromiter((4 * D * g.i for g in gens), np.int64, n)
+        c0 = np.fromiter((g.const_0 for g in gens), np.uint64, n)
+        c1 = np.fromiter((g.const_1 for g in gens), np.uint64, n)
+        get = lambda off: witness.get_reps(witness.wire_reps(rows, base + off))
+        m0_0, m0_1 = get(0), get(1)
+        m1_0, m1_1 = get(2), get(3)
+        ad0, ad1 = get(4), get(5)
+        p0, p1 = npf.ext2_mul(m0_0, m0_1, m1_0, m1_1)
+        r0 = npf.add(npf.mul(c0, p0), npf.mul(c1, ad0))
+        r1 = npf.add(npf.mul(c0, p1), npf.mul(c1, ad1))
+        witness.set_reps(
+            np.concatenate([witness.wire_reps(rows, base + 6),
+                            witness.wire_reps(rows, base + 7)]),
+            np.concatenate([r0, r1]))
+
     def run_once(self, witness, out):
         i, row = self.i, self.row
         ext = lambda rng: tuple(witness.get_target(Wire(row, w)) for w in rng)
@@ -236,6 +261,24 @@ class MulExtensionGenerator(SimpleGenerator):
     def outputs(self):
         return [Wire(self.row, w)
                 for w in MulExtensionGate.wires_ith_output(self.i)]
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized c0·m0·m1 over every (row, op-slot) in the level."""
+        import numpy as np
+
+        from plonky2_tpu.field import np_field as npf
+
+        n = len(gens)
+        rows = np.fromiter((g.row for g in gens), np.int64, n)
+        base = np.fromiter((3 * D * g.i for g in gens), np.int64, n)
+        c0 = np.fromiter((g.const_0 for g in gens), np.uint64, n)
+        get = lambda off: witness.get_reps(witness.wire_reps(rows, base + off))
+        p0, p1 = npf.ext2_mul(get(0), get(1), get(2), get(3))
+        witness.set_reps(
+            np.concatenate([witness.wire_reps(rows, base + 4),
+                            witness.wire_reps(rows, base + 5)]),
+            np.concatenate([npf.mul(c0, p0), npf.mul(c0, p1)]))
 
     def run_once(self, witness, out):
         i, row = self.i, self.row

@@ -273,6 +273,17 @@ class CosetInterpolationGate(Gate):
         return D + D + 2 * D * self.num_intermediates()
 
 
+_GATE_CACHE: dict = {}
+
+
+def _cached_gate(subgroup_bits: int, degree: int) -> "CosetInterpolationGate":
+    key = (subgroup_bits, degree)
+    g = _GATE_CACHE.get(key)
+    if g is None:
+        g = _GATE_CACHE[key] = CosetInterpolationGate(subgroup_bits, degree)
+    return g
+
+
 class InterpolationGenerator(SimpleGenerator):
     def __init__(self, row: int, subgroup_bits: int, degree: int):
         self.row = row
@@ -280,7 +291,7 @@ class InterpolationGenerator(SimpleGenerator):
         self.degree = degree
 
     def _gate(self) -> CosetInterpolationGate:
-        return CosetInterpolationGate(self.subgroup_bits, self.degree)
+        return _cached_gate(self.subgroup_bits, self.degree)
 
     def dependencies(self):
         gate = self._gate()
@@ -298,6 +309,84 @@ class InterpolationGenerator(SimpleGenerator):
             cols += list(gate.wires_intermediate_prod(i))
         cols += list(gate.wires_evaluation_value())
         return [Wire(self.row, c) for c in cols]
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized barycentric partial interpolation over every row of
+        the level: numpy ext2 recurrence over the subgroup points (the
+        scalar path pays a Python loop over all points PER ROW), native
+        Montgomery batch inversion for the coset shifts."""
+        import numpy as np
+
+        from plonky2_tpu import native
+        from plonky2_tpu.field import np_field as npf
+
+        by: dict = {}
+        for g in gens:
+            by.setdefault((g.subgroup_bits, g.degree), []).append(g)
+        for (sb, deg), group in by.items():
+            gate = _cached_gate(sb, deg)
+            n = len(group)
+            rows = np.fromiter((g.row for g in group), np.int64, n)
+            get = lambda col: witness.get_reps(witness.wire_reps(rows, col))
+            reps_out, vals_out = [], []
+
+            def put(col, v):
+                reps_out.append(witness.wire_reps(rows, col))
+                vals_out.append(v)
+
+            shift = get(gate.wire_shift())
+            if native.available:
+                inv_shift = native.batch_inverse(shift)
+            else:
+                inv_shift = np.fromiter(
+                    (fs.inverse(int(s)) for s in shift), np.uint64, n)
+            epc = list(gate.wires_evaluation_point())
+            x0 = npf.mul(inv_shift, get(epc[0]))
+            x1 = npf.mul(inv_shift, get(epc[1]))
+            sec = list(gate.wires_shifted_evaluation_point())
+            put(sec[0], x0)
+            put(sec[1], x1)
+
+            domain = fs.two_adic_subgroup(sb)
+            weights = gate.barycentric_weights
+            vals = [(get(c[0]), get(c[1]))
+                    for i in range(gate.num_points())
+                    for c in (list(gate.wires_value(i)),)]
+
+            ev0 = np.zeros(n, np.uint64)
+            ev1 = np.zeros(n, np.uint64)
+            pr0 = np.ones(n, np.uint64)
+            pr1 = np.zeros(n, np.uint64)
+
+            def steps(lo, hi, ev0, ev1, pr0, pr1):
+                for j in range(lo, hi):
+                    t0 = npf.sub(x0, np.uint64(domain[j]))
+                    w = np.uint64(weights[j])
+                    wv0 = npf.mul(w, vals[j][0])
+                    wv1 = npf.mul(w, vals[j][1])
+                    a0, a1 = npf.ext2_mul(ev0, ev1, t0, x1)
+                    b0, b1 = npf.ext2_mul(wv0, wv1, pr0, pr1)
+                    ev0, ev1 = npf.ext2_add(a0, a1, b0, b1)
+                    pr0, pr1 = npf.ext2_mul(pr0, pr1, t0, x1)
+                return ev0, ev1, pr0, pr1
+
+            ev0, ev1, pr0, pr1 = steps(0, deg, ev0, ev1, pr0, pr1)
+            for i in range(gate.num_intermediates()):
+                iec = list(gate.wires_intermediate_eval(i))
+                ipc = list(gate.wires_intermediate_prod(i))
+                put(iec[0], ev0)
+                put(iec[1], ev1)
+                put(ipc[0], pr0)
+                put(ipc[1], pr1)
+                start = 1 + (deg - 1) * (i + 1)
+                end = min(start + deg - 1, gate.num_points())
+                ev0, ev1, pr0, pr1 = steps(start, end, ev0, ev1, pr0, pr1)
+            evc = list(gate.wires_evaluation_value())
+            put(evc[0], ev0)
+            put(evc[1], ev1)
+            witness.set_reps(np.concatenate(reps_out),
+                             np.concatenate(vals_out))
 
     def run_once(self, witness, out):
         gate = self._gate()

@@ -346,6 +346,9 @@ from plonky2_tpu.iop.generator import SimpleGenerator
 from plonky2_tpu.iop.target import Wire
 
 
+_OUT_COLS_NP = None  # PoseidonGenerator output columns (identical per row)
+
+
 class PoseidonGenerator(SimpleGenerator):
     """Fills swap-deltas, per-round S-box input wires and outputs
     (reference gates/poseidon.rs PoseidonGenerator)."""
@@ -391,9 +394,15 @@ class PoseidonGenerator(SimpleGenerator):
         def wreps(col):
             return witness.wire_reps(rows, col)
 
-        getcol = lambda col: witness.get_reps(wreps(col))
-        inputs = [getcol(PoseidonGate.wire_input(i)) for i in range(W)]
-        swap = getcol(PoseidonGate.WIRE_SWAP)
+        # one 2D gather for all input columns (per-column calls paid numpy
+        # setup 13+122 times per level batch — the dominant witness cost in
+        # recursion circuits, which have many small Poseidon levels)
+        in_cols = np.asarray([PoseidonGate.wire_input(i) for i in range(W)]
+                             + [PoseidonGate.WIRE_SWAP], np.int64)
+        in_vals = witness.get_reps(witness.wire_reps(rows[:, None],
+                                                     in_cols[None, :]))
+        inputs = [in_vals[:, i] for i in range(W)]
+        swap = in_vals[:, W]
         assert bool(((swap == 0) | (swap == 1)).all()), "swap must be 0 or 1"
 
         from plonky2_tpu import native
@@ -402,9 +411,12 @@ class PoseidonGenerator(SimpleGenerator):
             # one C call fills every intermediate wire of every row
             out_vals = native.poseidon_gate_witness(
                 np.stack(inputs, axis=1), swap)  # [n, 122]
-            out_cols = [t.column for t in gens[0].outputs()]  # same layout per row
-            all_reps = np.concatenate([wreps(c) for c in out_cols])
-            witness.set_reps(all_reps, out_vals.T.reshape(-1))
+            global _OUT_COLS_NP
+            if _OUT_COLS_NP is None:  # same layout every row
+                _OUT_COLS_NP = np.asarray(
+                    [t.column for t in gens[0].outputs()], np.int64)
+            all_reps = witness.wire_reps(rows[:, None], _OUT_COLS_NP[None, :])
+            witness.set_reps(all_reps.T.reshape(-1), out_vals.T.reshape(-1))
             return
 
         write_cols: list[int] = []

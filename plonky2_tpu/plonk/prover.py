@@ -875,7 +875,7 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
              partial_products_zs_commitment.merkle_tree,
              quotient_polys_commitment.merkle_tree],
             (f0, f1), None, common.fri_params,
-            device_state=(sponge, []), extra_payload=extra)
+            device_state=(sponge, []), extra_payload=extra, timing=timing)
 
     # -- parse the payload (the proof's host-side pieces) --------------------
     flat = extra_host

@@ -20,6 +20,17 @@ from fuzz_verifiers import fuzz_one  # noqa: E402
 from plonky2_tpu import native  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _clear_compiled():
+    """Every fuzz case compiles a fresh circuit's prover programs; XLA:CPU
+    crashes once too many compiled executables accumulate in one process
+    (root-caused round 2, commit b274749) — drop them per test."""
+    import jax
+
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def verifier_bin():
     path = native.verifier_binary()
