@@ -11,6 +11,18 @@ on its own line BEFORE the recursion chain runs, so a prove failure can
 never zero the round's NTT evidence; every stage is exception-guarded and
 the headline line is always emitted with whatever succeeded.
 
+Budget-proofing (round-4): three rounds of driver runs never captured the
+proofs/s headline (r01 partial, r02 rc=1, r03 rc=124 timeout), so the
+bench is now wall-clock aware:
+  * a PROVISIONAL proofs/s line is emitted immediately after the FIRST
+    successful warm re-prove (and after each improvement), BEFORE the
+    outer recursion layer builds — the last JSON line on stdout is always
+    the best information available at kill time;
+  * a watchdog thread emits the final headline with whatever has been
+    measured and exits 0 at BENCH_BUDGET_S (default 1500 s) minus 45 s,
+    so a driver timeout can no longer produce an empty round;
+  * the warm-repeat loop itself stops early if fewer than 60 s remain.
+
 Methodology: every timing is repeat-and-take-min (no RTT subtraction). The
 NTT pipeline runs `NTT_ITERS` iterations inside one jit (lax.fori_loop,
 input perturbed per iteration to defeat CSE) so the single device->host
@@ -22,10 +34,13 @@ toolchain exists in this image (BASELINE.md), so vs_baseline for the NTT
 reports the fused-Pallas path against the pure-XLA path of the same
 pipeline measured in the same process; for proofs/s it is 0.0 (no reference
 measurement exists to compare against — recorded honestly rather than
-fabricated).
+fabricated). See ROOFLINE.md for the clearly-labelled *estimated*
+reference-CPU comparison.
 """
 
 import json
+import os
+import threading
 import time
 import traceback
 
@@ -33,8 +48,17 @@ import numpy as np
 
 NTT_ITERS = 16
 NTT_CALLS = 4
-REPEATS = 5
+REPEATS = 3
 SIZE = 14  # log2 inner gate count — the reference README's bench_recursion size
+
+_START = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_STATE = {"warm": None, "extra": {}, "done": False}
+_LOCK = threading.Lock()
+
+
+def _left():
+    return _BUDGET - (time.time() - _START)
 
 
 def _emit(metric, value, unit, vs_baseline=0.0, extra=None):
@@ -42,6 +66,33 @@ def _emit(metric, value, unit, vs_baseline=0.0, extra=None):
         "metric": metric, "value": value, "unit": unit,
         "vs_baseline": vs_baseline, "extra": extra or {},
     }), flush=True)
+
+
+def _emit_headline(tag=None):
+    with _LOCK:
+        if _STATE["done"]:
+            return
+        _STATE["done"] = True
+        warm = _STATE["warm"]
+        extra = dict(_STATE["extra"])
+        if tag:
+            extra["emitted_by"] = tag
+        extra["elapsed_s"] = round(time.time() - _START, 1)
+        _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})",
+              round(1.0 / warm, 3) if warm else 0.0, "proofs/s/chip", 0.0,
+              extra)
+
+
+def _watchdog():
+    while True:
+        left = _left() - 45.0
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    if not _STATE["done"]:
+        _STATE["extra"]["watchdog_fired"] = True
+        _emit_headline(tag="watchdog")
+        os._exit(0)
 
 
 def _min_time(fn, calls):
@@ -92,10 +143,11 @@ def ntt_metrics():
     elems_per_s = num_polys * n / dt
 
     vs_xla = 0.0
-    if pallas_ntt.should_use(lg_n // 2, 0):  # only when the kernels are live
+    if pallas_ntt.should_use(lg_n // 2, 0) and _left() > 600:
         # Best-effort: the XLA-path comparison compile is large and the axon
         # remote-compile relay occasionally drops it; the headline number
-        # must not die with it.
+        # must not die with it (and is skipped entirely when the wall-clock
+        # budget is already tight).
         for attempt in range(2):
             try:
                 fn_xla = make("0")
@@ -111,34 +163,52 @@ def ntt_metrics():
 
 
 def recursion_metrics():
+    """Chain per the reference protocol, but ordered so the headline metric
+    (warm middle-layer re-prove) is measured and emitted BEFORE the outer
+    layer builds: inner -> middle -> warm repeats (provisional emit after
+    each improvement) -> outer."""
     from plonky2_tpu.examples.bench_recursion import run_chain
 
+    def on_warm(best, r):
+        _STATE["warm"] = best
+        _STATE["extra"]["warm_recursive_prove_s"] = round(best, 3)
+        _STATE["extra"]["warm_repeats_done"] = r + 1
+        _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})"
+              f" [provisional, repeat {r}]",
+              round(1.0 / best, 3), "proofs/s/chip", 0.0,
+              {"warm_recursive_prove_s": round(best, 3)})
+
     t0 = time.time()
-    _, timings = run_chain(SIZE, verbose=False, repeats=REPEATS)
+    _, timings = run_chain(
+        SIZE, verbose=False, repeats=REPEATS, warm_before_outer=True,
+        on_warm=on_warm, time_left=_left)
     timings["chain_total"] = round(time.time() - t0, 1)
     return timings
 
 
 def main():
-    extra = {}
+    threading.Thread(target=_watchdog, daemon=True).start()
+    extra = _STATE["extra"]
 
     # -- metric 1: NTT/LDE throughput (emitted immediately) ------------------
     try:
-        extra = ntt_metrics()
+        extra.update(ntt_metrics())
         _emit(f"coset iNTT+LDE throughput (n=2^{extra['ntt_lg_n']})",
               extra["ntt_elems_per_s"], "elems/s/chip",
               extra["ntt_vs_xla_path"],
               {"iters": NTT_ITERS, "calls": NTT_CALLS})
     except Exception:
-        extra = {"ntt_error": traceback.format_exc(limit=3)}
+        extra["ntt_error"] = traceback.format_exc(limit=3)
         _emit("coset iNTT+LDE throughput (n=2^20)", 0.0, "elems/s/chip", 0.0,
               {"error": "see headline extra"})
 
-    # -- metric 2: recursion-chain proofs/s (emitted independently) ----------
-    warm = None
+    # -- metric 2: recursion-chain proofs/s (provisional lines emitted as
+    #    warm repeats land; see recursion_metrics) ---------------------------
     try:
         timings = recursion_metrics()
         warm = timings.get("warm_prove")
+        if warm:
+            _STATE["warm"] = warm
         extra.update({
             "inner_prove_s": round(timings.get("inner", 0.0), 2),
             "middle_first_s": round(timings.get("middle", 0.0), 2),
@@ -146,10 +216,10 @@ def main():
             "warm_recursive_prove_s": round(warm, 3) if warm else None,
             "repeats": REPEATS,
             "inner_size_log2": SIZE,
+            "chain_total_s": timings.get("chain_total"),
         })
-        _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})",
-              round(1.0 / warm, 3) if warm else 0.0, "proofs/s/chip", 0.0,
-              {"warm_recursive_prove_s": round(warm, 3) if warm else None})
+        if timings.get("phases"):
+            extra["warm_prove_phases_s"] = timings["phases"]
     except Exception:
         extra["recursion_error"] = traceback.format_exc(limit=3)
 
@@ -157,27 +227,26 @@ def main():
     try:
         import jax
 
-        if len(jax.devices()) > 1:
-            import os
+        n = len(jax.devices())
+        if n > 1 and _left() > 300:
             import sys
             sys.path.insert(0, os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "tools"))
             from scaling_sweep import sweep
 
-            n = len(jax.devices())
-            sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
+            sizes = sorted({s for s in (1, 2, 4, 8, 16, 32) if s <= n} | {n})
             sc = sweep(sizes, warm_repeats=2)
             per = {r["devices"]: r["proofs_per_s"] for r in sc["results"]}
             eff = sc["results"][-1]["efficiency_vs_1"] if sc["results"] else 0.0
             extra["scaling"] = sc["results"]
+            best_n = max(per) if per else 0
             _emit(f"sharded prove scaling (1..{n} chips, inner 2^12)",
-                  per.get(n, 0.0), "proofs/s", eff, {"per_devices": per})
+                  per.get(best_n, 0.0), "proofs/s", eff, {"per_devices": per})
     except Exception:
         extra["scaling_error"] = traceback.format_exc(limit=3)
 
     # -- headline line (always printed, last) --------------------------------
-    _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})",
-          round(1.0 / warm, 3) if warm else 0.0, "proofs/s/chip", 0.0, extra)
+    _emit_headline()
 
 
 if __name__ == "__main__":

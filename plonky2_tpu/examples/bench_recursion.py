@@ -112,8 +112,19 @@ def recursive_proof(inner, config: CircuitConfig, min_degree_bits: int | None = 
     return result
 
 
+def _phase_dict(timing: TimingTree) -> dict:
+    """Top-level phase durations of a prove TimingTree as {name: seconds}
+    (the prover's phase scopes are direct children of the tree it is given,
+    plonk/prover.py:179-289)."""
+    out = {}
+    for c in timing.children:
+        out[c.name] = round(out.get(c.name, 0.0) + c.duration, 4)
+    return out
+
+
 def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool = True,
-              repeats: int = 0, lookup_type: int = 0):
+              repeats: int = 0, lookup_type: int = 0,
+              warm_before_outer: bool = False, on_warm=None, time_left=None):
     """Chain of three proofs: inner 2^size -> middle -> outer.
 
     lookup_type selects the inner circuit as in the reference CLI
@@ -125,6 +136,12 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
     recursion circuit in-process afterwards — the steady-state prover
     latency a proving service sees (the reference's criterion bench also
     measures warm in-process iterations).
+
+    Budget hooks (used by bench.py): `warm_before_outer` runs the warm
+    repeats immediately after the middle layer (before the outer build),
+    `on_warm(best, repeat_idx)` fires after each improving warm repeat, and
+    `time_left()` (seconds) lets the warm loop and the outer layer be
+    skipped when the wall-clock budget is nearly spent.
     """
     config = config or CircuitConfig.standard_recursion_config()
     timings = {}
@@ -151,23 +168,25 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
         print(f"middle recursion layer: {timings['middle']:.1f}s "
               f"degree 2^{middle[2].degree_bits}", flush=True)
 
-    t0 = time.time()
-    outer = recursive_proof(middle, config)
-    timings["outer"] = time.time() - t0
-    if verbose:
-        print(f"outer recursion layer: {timings['outer']:.1f}s "
-              f"degree 2^{outer[2].degree_bits}", flush=True)
-
-    if repeats:
+    def warm_repeats():
         pw = PartialWitness()
         set_proof_with_pis_target(pw, middle_data["pt"], inner[0])
         set_verifier_data_target(pw, middle_data["vdt"], inner[1])
         best = float("inf")
+        proof = None
         for r in range(repeats):
+            if r > 0 and time_left is not None and time_left() < 60:
+                break
+            phase_timing = TimingTree("warm prove") if r == repeats - 1 else None
             t0 = time.time()
-            proof = middle_data["data"].prove(pw)
+            proof = middle_data["data"].prove(pw, timing=phase_timing)
             dt = time.time() - t0
-            best = min(best, dt)
+            if dt < best:
+                best = dt
+                if on_warm is not None:
+                    on_warm(best, r)
+            if phase_timing is not None:
+                timings["phases"] = _phase_dict(phase_timing)
             if verbose:
                 print(f"warm recursive prove[{r}]: {dt:.2f}s", flush=True)
         middle_data["data"].verify(proof)
@@ -175,6 +194,21 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
         if verbose:
             print(f"steady-state recursive prove: {best:.2f}s "
                   f"({1.0/best:.2f} proofs/s)", flush=True)
+
+    if repeats and warm_before_outer:
+        warm_repeats()
+
+    outer = middle
+    if time_left is None or time_left() > 90:
+        t0 = time.time()
+        outer = recursive_proof(middle, config)
+        timings["outer"] = time.time() - t0
+        if verbose:
+            print(f"outer recursion layer: {timings['outer']:.1f}s "
+                  f"degree 2^{outer[2].degree_bits}", flush=True)
+
+    if repeats and not warm_before_outer:
+        warm_repeats()
 
     return outer, timings
 
