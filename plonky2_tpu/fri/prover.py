@@ -13,6 +13,7 @@ the zero-tail LDE fast path.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from functools import partial
 
@@ -38,9 +39,23 @@ from plonky2_tpu.hash.merkle import MerkleTree, make_merkle_tree
 # fused path (all configs then take the host transcript); _LAST_PATH records
 # which FRI code path the most recent proof executed — "fused" (whole FRI
 # argument in one fetch), "commit_fused" (fused commit phase, host PoW and
-# query rounds), or "host".
+# query rounds), or "host". Tests should set the flag via force_host_path()
+# so it is always restored.
 _FORCE_HOST = False
 _LAST_PATH = None
+
+
+@contextlib.contextmanager
+def force_host_path():
+    """Test-only scope: force proves onto the host transcript path, restoring
+    the previous flag value on exit (exceptions included)."""
+    global _FORCE_HOST
+    prev = _FORCE_HOST
+    _FORCE_HOST = True
+    try:
+        yield
+    finally:
+        _FORCE_HOST = prev
 
 
 def fri_proof(initial_merkle_trees, final_coeffs, challenger, fri_params,
@@ -459,67 +474,65 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
                   + [x for g_ in gathers for x in g_])))
 
     # -- parse the single fetch ---------------------------------------------
-    parse_scope = timing.scope("parse payload")
-    parse_scope.__enter__()
-    extra_host = flat[:n_extra] if extra_payload is not None else None
-    pos = n_extra
-    caps = []
-    for _ in arities:
-        caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
-                     for r in range(rows)])
-        pos += rows * 4
-    final_poly = [(int(a), int(b)) for a, b in
-                  zip(flat[pos:pos + n_final],
-                      flat[pos + n_final:pos + 2 * n_final])]
-    pos += 2 * n_final
-    pow_witness = int(flat[pos]); pow_response = int(flat[pos + 1]); pos += 2
-    assert pow_response < (1 << (64 - config.proof_of_work_bits))
-    pos += num_queries  # indices (already applied on device)
-    sponge_out = flat[pos:pos + 12]; pos += 12
+    with timing.scope("parse payload"):
+        extra_host = flat[:n_extra] if extra_payload is not None else None
+        pos = n_extra
+        caps = []
+        for _ in arities:
+            caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                         for r in range(rows)])
+            pos += rows * 4
+        final_poly = [(int(a), int(b)) for a, b in
+                      zip(flat[pos:pos + n_final],
+                          flat[pos + n_final:pos + 2 * n_final])]
+        pos += 2 * n_final
+        pow_witness = int(flat[pos]); pow_response = int(flat[pos + 1]); pos += 2
+        assert pow_response < (1 << (64 - config.proof_of_work_bits))
+        pos += num_queries  # indices (already applied on device)
+        sponge_out = flat[pos:pos + 12]; pos += 12
 
-    opens = []
-    for qq, w, levels in shapes:
-        leaves_h = flat[pos:pos + qq * w].reshape(qq, w); pos += qq * w
-        sibs_h = flat[pos:pos + qq * levels * 4].reshape(qq, levels, 4)
-        pos += qq * levels * 4
-        opens.append((leaves_h, sibs_h, levels))
+        opens = []
+        for qq, w, levels in shapes:
+            leaves_h = flat[pos:pos + qq * w].reshape(qq, w); pos += qq * w
+            sibs_h = flat[pos:pos + qq * levels * 4].reshape(qq, levels, 4)
+            pos += qq * levels * 4
+            opens.append((leaves_h, sibs_h, levels))
 
-    # host challenger sync: static count of unpopped squeezed outputs.
-    # In device_state mode the transcript lives on device — no host state
-    # to sync (challenger may be None).
-    if device_state is None:
-        m = _sim_remaining_outputs(k_pending, arities, rows, n_final,
-                                   num_queries)
-        challenger.sponge_state = [int(x) for x in sponge_out]
-        challenger.input_buffer = []
-        challenger.output_buffer = [int(x) for x in sponge_out[:m]]
+        # host challenger sync: static count of unpopped squeezed outputs.
+        # In device_state mode the transcript lives on device — no host state
+        # to sync (challenger may be None).
+        if device_state is None:
+            m = _sim_remaining_outputs(k_pending, arities, rows, n_final,
+                                       num_queries)
+            challenger.sponge_state = [int(x) for x in sponge_out]
+            challenger.input_buffer = []
+            challenger.output_buffer = [int(x) for x in sponge_out[:m]]
 
-    n_init = len(initial_trees)
-    rounds = []
-    for qi in range(num_queries):
-        evals_proofs = []
-        for leaves_h, sibs_h, levels in opens[:n_init]:
-            evals_proofs.append((
-                [int(v) for v in leaves_h[qi]],
-                MerkleProof([[int(v) for v in sibs_h[qi, k]]
-                             for k in range(levels)])))
-        steps = []
-        for leaves_h, sibs_h, levels in opens[n_init:]:
-            steps.append(FriQueryStep(
-                evals=_unflatten([int(v) for v in leaves_h[qi]]),
-                merkle_proof=MerkleProof([[int(v) for v in sibs_h[qi, k]]
-                                          for k in range(levels)])))
-        rounds.append(FriQueryRound(
-            initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
-            steps=steps))
+        n_init = len(initial_trees)
+        rounds = []
+        for qi in range(num_queries):
+            evals_proofs = []
+            for leaves_h, sibs_h, levels in opens[:n_init]:
+                evals_proofs.append((
+                    [int(v) for v in leaves_h[qi]],
+                    MerkleProof([[int(v) for v in sibs_h[qi, k]]
+                                 for k in range(levels)])))
+            steps = []
+            for leaves_h, sibs_h, levels in opens[n_init:]:
+                steps.append(FriQueryStep(
+                    evals=_unflatten([int(v) for v in leaves_h[qi]]),
+                    merkle_proof=MerkleProof([[int(v) for v in sibs_h[qi, k]]
+                                              for k in range(levels)])))
+            rounds.append(FriQueryRound(
+                initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+                steps=steps))
 
-    proof = FriProof(
-        commit_phase_merkle_caps=caps,
-        query_round_proofs=rounds,
-        final_poly=final_poly,
-        pow_witness=pow_witness,
-    )
-    parse_scope.__exit__(None, None, None)
+        proof = FriProof(
+            commit_phase_merkle_caps=caps,
+            query_round_proofs=rounds,
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+        )
     return proof, extra_host
 
 

@@ -162,6 +162,225 @@ def compute_lookup_polys(witness, deltas4, prover_data, common):
     return polys
 
 
+# -- device lookup polynomials (fused-transcript path) ------------------------
+
+
+def _mod_affine_prefix(a, b):
+    """Inclusive prefix of affine maps x -> a*x + b over Goldilocks:
+    returns (A, B) with x_i = A_i * x_{-1} + B_i. Log-depth associative
+    scan — the TPU dual of the reference's sequential RE row recurrence
+    (plonk/prover.rs:458-523)."""
+    def comb(left, right):
+        la, lb = left
+        ra, rb = right
+        return g.mul(la, ra), g.add(g.mul(lb, ra), rb)
+
+    return jax.lax.associative_scan(comb, (a, b))
+
+
+def _lookup_polys_fn(degree, nc, num_lut_slots, num_lu_slots,
+                     max_lookup_degree, max_lookup_table_degree,
+                     num_partial, regions):
+    """Build the jitted device program computing ALL lookup columns
+    (RE + partial-SLDC per challenge) from wire-region slices and the
+    device-resident delta draws. Bit-identical to compute_lookup_polys
+    (the host row recurrences become one associative scan per region:
+    RE is a first-order affine recurrence, the SLDC running sum is a
+    modular prefix sum; intra-row chunk structure is static).
+
+    regions: tuple of (first_lut_gate, last_lut_gate, last_lu_gate).
+    Call signature: f(deltas[4*nc], *per-region (inp, out, mult, lu_inp,
+    lu_out)) -> [nc*(num_partial+1), degree]."""
+
+    def f(deltas, *region_arrays):
+        out_polys = []
+        for c in range(nc):
+            da = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_A]
+            db = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_B]
+            dalpha = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_ALPHA]
+            ddelta = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_DELTA]
+            re_poly = jnp.zeros((degree,), jnp.uint64)
+            cols = [jnp.zeros((degree,), jnp.uint64) for _ in range(num_partial)]
+            for ri, (first, last_lut, last_lu) in enumerate(regions):
+                inp, out, mult, lu_inp, lu_out = region_arrays[5 * ri:5 * ri + 5]
+                rows_lut = np.arange(first, last_lut - 1, -1)
+                rows_lu = np.arange(last_lut - 1, last_lu - 1, -1)
+                carry_re = re_poly[(first + 1) % degree]
+                carry_s = cols[num_partial - 1][(first + 1) % degree]
+
+                # -- LUT rows: RE recurrence + multiplicity/inverse sums -----
+                inv_lut = g.inverse(g.sub(dalpha, g.add(inp, g.mul(da, out))))
+                combos = g.add(inp, g.mul(db, out))
+                e = jnp.zeros((rows_lut.size,), jnp.uint64)
+                for s in range(num_lut_slots):
+                    e = g.add(g.mul(e, ddelta), combos[:, s])
+                D = g.exp_u64(ddelta, num_lut_slots)
+                b = e.at[0].set(g.add(e[0], g.mul(D, carry_re)))
+                a = jnp.broadcast_to(D, (rows_lut.size,))
+                _, re_col = _mod_affine_prefix(a, b)
+
+                mi = g.mul(mult, inv_lut)
+                # num_partial is derived from the LookupGate slot count, so a
+                # trailing LUT chunk can be empty — the host loop then adds
+                # nothing (col[slot+1] = col[slot])
+                chunk_lut = [
+                    (g.sum_mod(mi[:, s0:min(s0 + max_lookup_table_degree,
+                                            num_lut_slots)], axis=1)
+                     if s0 < num_lut_slots
+                     else jnp.zeros((rows_lut.size,), jnp.uint64))
+                    for s0 in range(0, num_partial * max_lookup_table_degree,
+                                    max_lookup_table_degree)
+                ]
+                total_lut = chunk_lut[0]
+                for ch in chunk_lut[1:]:
+                    total_lut = g.add(total_lut, ch)
+                s_incl = jax.lax.associative_scan(g.add, total_lut)
+                s_before = jnp.concatenate(
+                    [jnp.broadcast_to(carry_s, (1,)),
+                     g.add(carry_s, s_incl[:-1])])
+                prefix = chunk_lut[0]
+                cols_lut = [g.add(s_before, prefix)]
+                for ch in chunk_lut[1:]:
+                    prefix = g.add(prefix, ch)
+                    cols_lut.append(g.add(s_before, prefix))
+
+                re_poly = re_poly.at[rows_lut].set(re_col)
+                carry_lu = g.add(carry_s, s_incl[-1])
+
+                # -- LookupGate rows: inverse sums, subtracted ----------------
+                if rows_lu.size:
+                    inv_lu = g.inverse(
+                        g.sub(dalpha, g.add(lu_inp, g.mul(da, lu_out))))
+                    chunk_lu = [
+                        g.sum_mod(inv_lu[:, s0:min(s0 + max_lookup_degree,
+                                                   num_lu_slots)], axis=1)
+                        for s0 in range(0, num_partial * max_lookup_degree,
+                                        max_lookup_degree)
+                    ]
+                    total_lu = chunk_lu[0]
+                    for ch in chunk_lu[1:]:
+                        total_lu = g.add(total_lu, ch)
+                    s_incl_lu = jax.lax.associative_scan(g.add, total_lu)
+                    s_before_lu = jnp.concatenate(
+                        [jnp.broadcast_to(carry_lu, (1,)),
+                         g.sub(jnp.broadcast_to(carry_lu, s_incl_lu[:-1].shape),
+                               s_incl_lu[:-1])])
+                    prefix = chunk_lu[0]
+                    cols_lu = [g.sub(s_before_lu, prefix)]
+                    for ch in chunk_lu[1:]:
+                        prefix = g.add(prefix, ch)
+                        cols_lu.append(g.sub(s_before_lu, prefix))
+                    for p in range(num_partial):
+                        cols[p] = (cols[p].at[rows_lut].set(cols_lut[p])
+                                   .at[rows_lu].set(cols_lu[p]))
+                else:
+                    for p in range(num_partial):
+                        cols[p] = cols[p].at[rows_lut].set(cols_lut[p])
+            out_polys.append(re_poly)
+            out_polys.extend(cols)
+        return jnp.stack(out_polys)
+
+    return persistent_jit(f, name="plonk.prover.lookup_polys")
+
+
+_LOOKUP_POLYS_FN_CACHE: dict[int, object] = {}
+
+
+def compute_lookup_polys_device(witness, deltas_dev, prover_data, common):
+    """Device dual of compute_lookup_polys for ALL challenges at once.
+    witness: [num_wires, degree] host numpy; deltas_dev: [4*nc] device
+    draws from the fused transcript. Returns [nc*(num_partial+1), degree]
+    device array in the host path's column order (RE, SLDC_1.., per
+    challenge)."""
+    from plonky2_tpu.gates.lookup import LookupGate, LookupTableGate
+
+    degree = common.degree
+    nc = common.config.num_challenges
+    num_lu_slots = LookupGate.num_slots_from_config(common.config)
+    max_lookup_degree = common.config.max_quotient_degree_factor - 1
+    num_partial = -(-num_lu_slots // max_lookup_degree)
+    num_lut_slots = LookupTableGate.num_slots_from_config(common.config)
+    max_lookup_table_degree = -(-num_lut_slots // num_partial)
+
+    regions = tuple((lw.first_lut_gate, lw.last_lut_gate, lw.last_lu_gate)
+                    for lw in prover_data.lookup_rows)
+    key = (id(common), regions)
+    fn = _LOOKUP_POLYS_FN_CACHE.get(key)
+    if fn is None:
+        fn = _lookup_polys_fn(degree, nc, num_lut_slots, num_lu_slots,
+                              max_lookup_degree, max_lookup_table_degree,
+                              num_partial, regions)
+        _LOOKUP_POLYS_FN_CACHE[key] = fn
+
+    args = []
+    for first, last_lut, last_lu in regions:
+        rows_lut = np.arange(first, last_lut - 1, -1)
+        rows_lu = np.arange(last_lut - 1, last_lu - 1, -1)
+        lut_cols_in = [LookupTableGate.wire_ith_looked_inp(s)
+                       for s in range(num_lut_slots)]
+        lut_cols_out = [LookupTableGate.wire_ith_looked_out(s)
+                        for s in range(num_lut_slots)]
+        lut_cols_m = [LookupTableGate.wire_ith_multiplicity(s)
+                      for s in range(num_lut_slots)]
+        lu_cols_in = [LookupGate.wire_ith_looking_inp(s)
+                      for s in range(num_lu_slots)]
+        lu_cols_out = [LookupGate.wire_ith_looking_out(s)
+                       for s in range(num_lu_slots)]
+        args.append(jnp.asarray(witness[np.ix_(lut_cols_in, rows_lut)].T))
+        args.append(jnp.asarray(witness[np.ix_(lut_cols_out, rows_lut)].T))
+        args.append(jnp.asarray(witness[np.ix_(lut_cols_m, rows_lut)].T))
+        args.append(jnp.asarray(witness[np.ix_(lu_cols_in, rows_lu)].T))
+        args.append(jnp.asarray(witness[np.ix_(lu_cols_out, rows_lu)].T))
+    pj_key = f"{_common_pj_key(common)}|{regions}"
+    return fn(deltas_dev, *args, _pj_key=pj_key)
+
+
+_LUT_EVALS_FN_CACHE: dict[int, object] = {}
+
+
+def _lut_evals_device(common, deltas_dev):
+    """Device dual of eval_lut_poly for all (challenge, lut) pairs:
+    value = sum_j (in_j + b*out_j) * delta^(N-1-j) over the padded LUT
+    (reference vanishing_poly.rs:30 get_lut_poly + Horner eval). Returns
+    [nc, num_luts] device array — keeps the fused transcript on device
+    where the host path would fetch the deltas to evaluate on CPU."""
+    from plonky2_tpu.gates.lookup import LookupTableGate
+
+    key = id(common)
+    fn = _LUT_EVALS_FN_CACHE.get(key)
+    if fn is None:
+        num_lut_slots = LookupTableGate.num_slots_from_config(common.config)
+        nc = common.config.num_challenges
+        tables = []
+        for lut in common.luts:
+            n = len(lut)
+            rows = -(-n // num_lut_slots)
+            N = num_lut_slots * rows
+            pad_i, pad_o = lut[0]
+            ins = np.asarray([i for i, _ in lut] + [pad_i] * (N - n),
+                             dtype=np.uint64)
+            outs = np.asarray([o for _, o in lut] + [pad_o] * (N - n),
+                              dtype=np.uint64)
+            tables.append((ins, outs))
+
+        def f(deltas):
+            rows_out = []
+            for c in range(nc):
+                db = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_B]
+                dd = deltas[NUM_COINS_LOOKUP * c + CHALLENGE_DELTA]
+                vals = []
+                for ins, outs in tables:
+                    combo = g.add(jnp.asarray(ins), g.mul(db, jnp.asarray(outs)))
+                    pows = g.powers(dd, ins.shape[0])[::-1]
+                    vals.append(g.sum_mod(g.mul(combo, pows)))
+                rows_out.append(jnp.stack(vals))
+            return jnp.stack(rows_out)
+
+        fn = persistent_jit(f, name="plonk.prover.lut_evals")
+        _LUT_EVALS_FN_CACHE[key] = fn
+    return fn(deltas_dev, _pj_key=_common_pj_key(common))
+
+
 def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> ProofWithPublicInputs:
     timing = timing or TimingTree("prove")
     config = common.config
@@ -585,16 +804,22 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
 
     nc = common.config.num_challenges
     if common.num_lookup_polys:
-        lut_re_evals = np.asarray(
-            [[eval_lut_poly(common, l, list(deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP]))
-              for l in range(len(common.luts))]
-             for c in range(nc)],
-            dtype=np.uint64,
-        )
-        deltas_np = np.asarray(deltas, dtype=np.uint64)
+        if isinstance(deltas, jax.Array):
+            # fused transcript: deltas are device draws — evaluate the
+            # LUT-binding polys on device, no host fetch
+            lut_re_evals = _lut_evals_device(common, deltas)
+            deltas_arr = deltas
+        else:
+            lut_re_evals = jnp.asarray(np.asarray(
+                [[eval_lut_poly(common, l, list(deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP]))
+                  for l in range(len(common.luts))]
+                 for c in range(nc)],
+                dtype=np.uint64,
+            ))
+            deltas_arr = jnp.asarray(np.asarray(deltas, dtype=np.uint64))
     else:
-        lut_re_evals = np.zeros((nc, 0), dtype=np.uint64)
-        deltas_np = np.zeros((0,), dtype=np.uint64)
+        lut_re_evals = jnp.asarray(np.zeros((nc, 0), dtype=np.uint64))
+        deltas_arr = jnp.asarray(np.zeros((0,), dtype=np.uint64))
 
     def _draws(x):  # host ints or device draws from the fused transcript
         return x if isinstance(x, jax.Array) else jnp.asarray(
@@ -603,7 +828,7 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
     return fn(
         cs_q, wires_q, zs_pp_q,
         _draws(betas), _draws(gammas), _draws(alphas),
-        jnp.asarray(deltas_np), jnp.asarray(lut_re_evals),
+        deltas_arr, lut_re_evals,
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
         shard_lanes(jnp.asarray(xs)), shard_lanes(jnp.asarray(z_h)),
         shard_lanes(jnp.asarray(z_h_inv)),
@@ -694,17 +919,20 @@ def _opening_set(zeta, g_root, constants_sigmas_commitment, wires_commitment,
 
 def _can_fuse_transcript(common, hasher, has_lookup, prover_data,
                          wires_commitment) -> bool:
-    """The fused path needs: Poseidon transcript (DeviceChallenger), no
-    lookups (their RE/SLDC row recurrences and LUT evals run on host and
-    need host delta challenges), >=1 FRI fold step (the fused FRI program),
-    and device-resident natural-layout trees on every oracle."""
+    """The fused path needs: Poseidon transcript (DeviceChallenger), >=1 FRI
+    fold step (the fused FRI program), and device-resident natural-layout
+    trees on every oracle. Lookup circuits are handled since round 4: the
+    RE/SLDC row recurrences run as device associative scans
+    (compute_lookup_polys_device) and the LUT-binding evals as device
+    Horner sums (_lut_evals_device), so the delta draws never leave the
+    device."""
     from plonky2_tpu.fri import prover as fri_prover
     from plonky2_tpu.hash.hashers import PoseidonHasher
     from plonky2_tpu.hash.merkle import NaturalMerkleTree
 
     if fri_prover._FORCE_HOST:
         return False
-    if hasher is not PoseidonHasher or has_lookup:
+    if hasher is not PoseidonHasher:
         return False
     if not tuple(common.fri_params.reduction_arity_bits):
         return False
@@ -714,30 +942,40 @@ def _can_fuse_transcript(common, hasher, has_lookup, prover_data,
 
 
 @functools.lru_cache(maxsize=None)
-def _openings_final_fn(n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits):
+def _openings_final_fn(n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits,
+                       n_zpp=None):
     """ONE jit for the opening argument's transcript segment: evaluate every
     committed polynomial at zeta / g*zeta, observe the openings in
     FRI-openings order (reference plonk/proof.rs:352-393), draw the FRI
     alpha, and compute the FRI final polynomial (per-batch composition
     quotients with ReducingFactor::shift_poly semantics, reference
     fri/oracle.rs:176-237 + util/reducing.rs:100) — all on device scalars,
-    no host round trip. No-lookup layout only (see _can_fuse_transcript)."""
+    no host round trip. n_zpp = Zs + partial-product row count of the
+    zs_pp oracle; rows beyond it are lookup polys, which fri_all_polys
+    orders LAST (after the quotient) and fri_next_batch_polys opens at
+    g*zeta after the Zs (plonk/circuit_data.py:125-131)."""
     from plonky2_tpu.fri.oracle import _batch_quotient_impl, _ext2_pow_static
     from plonky2_tpu.iop.challenger import DeviceChallenger
 
     g_root = fs.primitive_root_of_unity(degree_bits)
+    if n_zpp is None:
+        n_zpp = n_z
 
     # packed layout: [cs@z | wires@z | zs_pp@z | zs_pp@gz | quot@z]
     o_cs, o_w = 0, n_cs
     o_z, o_zg, o_q = n_cs + n_w, n_cs + n_w + n_z, n_cs + n_w + 2 * n_z
-    # batch 0 = all polys @ zeta (fri_all_polys order), batch 1 = Zs @ g*zeta
+    # batch 0 = all polys @ zeta (fri_all_polys order: lookups after the
+    # quotient), batch 1 = Zs then lookups @ g*zeta
+    lookup_rows = list(range(n_zpp, n_z))
     batch0 = (list(range(o_cs, o_cs + n_cs)) + list(range(o_w, o_w + n_w))
-              + list(range(o_z, o_z + n_z)) + list(range(o_q, o_q + n_q)))
-    batch1 = list(range(o_zg, o_zg + nc))
+              + list(range(o_z, o_z + n_zpp)) + list(range(o_q, o_q + n_q))
+              + [o_z + i for i in lookup_rows])
+    batch1 = list(range(o_zg, o_zg + nc)) + [o_zg + i for i in lookup_rows]
     # the same polys as (oracle, row) pairs for the final-poly quotients
     mats0 = ([(0, i) for i in range(n_cs)] + [(1, i) for i in range(n_w)]
-             + [(2, i) for i in range(n_z)] + [(3, i) for i in range(n_q)])
-    mats1 = [(2, i) for i in range(nc)]
+             + [(2, i) for i in range(n_zpp)] + [(3, i) for i in range(n_q)]
+             + [(2, i) for i in lookup_rows])
+    mats1 = [(2, i) for i in range(nc)] + [(2, i) for i in lookup_rows]
 
     def f(sponge, zdraw, cs, wires, zs_pp, quot):
         z = (zdraw[0], zdraw[1])
@@ -809,16 +1047,27 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
         np.asarray(challenger.input_buffer, dtype=np.uint64)))
     no_pend = replicate(jnp.zeros((0,), dtype=jnp.uint64))
 
-    # boundary 1: absorb wires cap -> betas, gammas
-    b1 = cap_boundary_fn(k0, cap_height, True, 2 * nc)
+    # boundary 1: absorb wires cap -> betas, gammas (+ lookup deltas; the
+    # host path's betas+gammas+additional are the same draw stream,
+    # reference plonk/get_challenges.rs:57-68)
+    has_lookup = common.num_lookup_polys != 0
+    ndraws1 = (NUM_COINS_LOOKUP if has_lookup else 2) * nc
+    b1 = cap_boundary_fn(k0, cap_height, True, ndraws1)
     sponge, _, draws1, cap_w = b1(
         sponge, pend, replicate(wires_commitment.merkle_tree.cap_dev))
-    betas, gammas = draws1[:nc], draws1[nc:]
+    betas, gammas = draws1[:nc], draws1[nc:2 * nc]
 
     with timing.scope("partial products and Zs"):
         wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
         zs_partial_products = _all_partial_products_and_zs(
             wires_values_routed, prover_data, common, betas, gammas)
+
+    if has_lookup:
+        with timing.scope("compute lookup polys"):
+            zs_partial_products = jnp.concatenate(
+                [zs_partial_products,
+                 compute_lookup_polys_device(witness, draws1, prover_data,
+                                             common)], axis=0)
 
     with timing.scope("zs_partial_products commitment"):
         partial_products_zs_commitment = PolynomialBatch.from_values(
@@ -836,7 +1085,8 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
         quotient_chunks = _compute_quotient_polys(
             prover_data, common, prover_data.constants_sigmas_commitment,
             wires_commitment, partial_products_zs_commitment,
-            public_inputs_hash, betas, gammas, alphas)
+            public_inputs_hash, betas, gammas, alphas,
+            deltas=draws1 if has_lookup else ())
 
     with timing.scope("quotient commitment"):
         quotient_polys_commitment = PolynomialBatch.from_coeffs(
@@ -853,9 +1103,10 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
     n_w = int(wires_commitment.polynomials.shape[0])
     n_z = int(partial_products_zs_commitment.polynomials.shape[0])
     n_q = int(quotient_polys_commitment.polynomials.shape[0])
+    n_zpp = common.num_zs_partial_products_polys()
     with timing.scope("openings + final poly"):
         fn = _openings_final_fn(n_cs, n_w, n_z, n_q, nc, common.degree_bits,
-                                rate_bits)
+                                rate_bits, n_zpp)
         packed, zz, f0, f1, sponge = fn(
             sponge, zdraw,
             shard_lanes(prover_data.constants_sigmas_commitment.polynomials),
@@ -906,8 +1157,8 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
         plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
         partial_products=[zs_pp_eval[i] for i in common.partial_products_range()],
         quotient_polys=quot_eval,
-        lookup_zs=[],
-        lookup_zs_next=[],
+        lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
+        lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
     )
 
     proof = Proof(

@@ -70,11 +70,8 @@ def test_folded_poseidon_takes_fused_path_and_matches_host():
     assert fp._LAST_PATH == "fused"
     assert pp._LAST_TRANSCRIPT == "fused"
 
-    fp._FORCE_HOST = True
-    try:
+    with fp.force_host_path():
         proof_host = _prove(data, x)
-    finally:
-        fp._FORCE_HOST = False
     assert fp._LAST_PATH == "host"
     assert pp._LAST_TRANSCRIPT == "host"
     assert proof_to_bytes(proof_fused) == proof_to_bytes(proof_host)
@@ -104,9 +101,11 @@ def test_folded_poseidon_under_mesh_fused_and_identical():
     assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
 
 
-def test_lookup_circuit_host_transcript_fused_fri():
-    """Lookups force the host transcript (RE/SLDC host recurrences need
-    host deltas) but the FRI argument itself still runs fused."""
+def test_lookup_circuit_takes_fused_transcript_and_matches_host():
+    """Round 4: lookup circuits take the fully fused device transcript (the
+    RE/SLDC row recurrences run as device associative scans and the
+    LUT-binding evals as device Horner sums) — byte-identical to the host
+    path."""
     config = CircuitConfig.standard_recursion_config()
     b = CircuitBuilder(config)
     lut = b.add_lookup_table_from_table(list(range(16)),
@@ -120,14 +119,107 @@ def test_lookup_circuit_host_transcript_fused_fri():
     b.register_public_input(cur)
     data = b.build()
     assert len(data.common.fri_params.reduction_arity_bits) >= 1
-    pw = PartialWitness()
-    pw.set_target(x, 5)
-    rng.seed(77)
-    proof = data.prove(pw)
-    rng.seed(None)
-    data.verify(proof)
-    assert pp._LAST_TRANSCRIPT == "host"
+
+    def run():
+        pw = PartialWitness()
+        pw.set_target(x, 5)
+        rng.seed(77)
+        proof = data.prove(pw)
+        rng.seed(None)
+        data.verify(proof)
+        return proof
+
+    proof_fused = run()
+    assert pp._LAST_TRANSCRIPT == "fused"
     assert fp._LAST_PATH == "fused"
+
+    with fp.force_host_path():
+        proof_host = run()
+    assert pp._LAST_TRANSCRIPT == "host"
+    assert fp._LAST_PATH == "host"
+    assert proof_to_bytes(proof_fused) == proof_to_bytes(proof_host)
+
+
+def _zk_mul_chain(n_muls):
+    config = CircuitConfig.standard_recursion_zk_config()
+    b = CircuitBuilder(config)
+    x = b.add_virtual_target()
+    cur = x
+    for i in range(n_muls):
+        cur = b.mul(cur, b.constant(i % 13 + 1))
+    b.register_public_input(x)
+    b.register_public_input(cur)
+    return b.build(), x
+
+
+def test_zk_config_takes_fused_path_and_matches_host():
+    """standard_recursion_zk_config (salted oracles + blinding rows,
+    reference plonk/circuit_data.rs:121-140): the hiding proof takes the
+    fused device transcript and is byte-stable against the host path
+    (blinding randomness pinned by the seeded prover rng)."""
+    data, x = _zk_mul_chain(700)
+    assert data.common.config.zero_knowledge
+    assert len(data.common.fri_params.reduction_arity_bits) >= 1
+    proof_fused = _prove(data, x)
+    assert fp._LAST_PATH == "fused"
+    assert pp._LAST_TRANSCRIPT == "fused"
+
+    with fp.force_host_path():
+        proof_host = _prove(data, x)
+    assert fp._LAST_PATH == "host"
+    assert pp._LAST_TRANSCRIPT == "host"
+    assert proof_to_bytes(proof_fused) == proof_to_bytes(proof_host)
+
+
+def test_zk_config_under_mesh_fused_and_identical():
+    """zk + 8-device mesh: same fused path, byte-identical proofs."""
+    from plonky2_tpu.parallel import make_mesh, use_mesh
+
+    data, x = _zk_mul_chain(700)
+    proof_single = _prove(data, x)
+    assert fp._LAST_PATH == "fused"
+    with use_mesh(make_mesh(8)):
+        proof_mesh = _prove(data, x)
+    assert fp._LAST_PATH == "fused"
+    assert pp._LAST_TRANSCRIPT == "fused"
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
+
+
+def test_batch_fri_oracle_takes_batch_host_path():
+    """A BatchFriOracle prove runs the host-transcript batch commit loop
+    (the fold chain absorbs a new degree group between steps) — pinned so
+    any future fusing of batch FRI must update the matrix."""
+    import jax.numpy as jnp
+
+    from plonky2_tpu.field import scalar as fs
+    from plonky2_tpu.fri.batch_fri import BatchFriOracle, batch_fri_proof
+    from plonky2_tpu.fri.config import FriConfig, FriParams, FriReductionStrategy
+    from plonky2_tpu.iop.challenger import Challenger
+
+    r = np.random.default_rng(5)
+    rate_bits, cap_height = 3, 2
+    bits = [9, 7]
+    groups = [
+        r.integers(0, fs.P, size=(3, 1 << bits[0]), dtype=np.uint64),
+        r.integers(0, fs.P, size=(2, 1 << bits[1]), dtype=np.uint64),
+    ]
+    oracle = BatchFriOracle(groups, rate_bits, cap_height)
+    arities = (1,) * 4
+    params = FriParams(
+        config=FriConfig(rate_bits=rate_bits, cap_height=cap_height,
+                         proof_of_work_bits=8,
+                         reduction_strategy=FriReductionStrategy.Fixed(arities),
+                         num_query_rounds=8),
+        hiding=False, degree_bits=bits[0], reduction_arity_bits=arities,
+    )
+    comp = []
+    for k in range(2):
+        comp.append((jnp.asarray(groups[k][0]),
+                     jnp.asarray(np.zeros_like(groups[k][0]))))
+    challenger = Challenger()
+    challenger.observe_element(9)
+    batch_fri_proof([oracle.batch_merkle_tree], comp, challenger, params)
+    assert fp._LAST_PATH == "batch_host"
 
 
 def test_fixed_shape_takes_commit_fused_path():
