@@ -71,6 +71,13 @@ def batch_fri_proof(batch_trees: list, composition_coeffs: list, challenger,
     alpha-combined quotient polynomial (largest degree first), each of length
     2^degree_bits_k * 2^rate_bits after LDE below
     (reference batch_fri/prover.rs:25-148)."""
+    from plonky2_tpu.fri import prover as fri_prover
+
+    # path-matrix introspection (tests/test_fri_path_matrix.py): batch FRI
+    # runs the host-transcript commit loop (the fold chain absorbs a new
+    # degree group between steps, a structure the fused single-degree
+    # program does not cover)
+    fri_prover._LAST_PATH = "batch_host"
     rate_bits = fri_params.config.rate_bits
     cap_height = fri_params.config.cap_height
     shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
