@@ -19,9 +19,11 @@
 // into poseidon_tables.inc at build time (plonky2_tpu/native/__init__.py),
 // which themselves regenerate from the reference's ChaCha8 seed.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <string>
 #include <tuple>
 #include <vector>
@@ -1288,26 +1290,63 @@ static std::vector<std::vector<E>> fri_opening_values(const OpeningSetC& o) {
   return {b0, b1};
 }
 
-static void verify_fri_proof(const CommonC& cd, E zeta,
-                             const FriChallengesC& ch,
-                             const std::vector<const std::vector<GD>*>& caps,
-                             const FriProofC& fp, const OpeningSetC& open) {
-  const auto& params = cd.fri_params;
+// alpha-reduce each batch's claimed opening values (shared by the verifier
+// and the compressed-proof inference path)
+static std::vector<E> reduce_batch_values(
+    const std::vector<std::vector<E>>& batch_values, E alpha) {
+  std::vector<E> reduced;
+  for (auto& bv : batch_values) {
+    ReducingFactor rf(alpha);
+    reduced.push_back(rf.reduce_ext(bv));
+  }
+  return reduced;
+}
+
+// fri_combine_initial (reference fri/verifier.rs:123-162), generic over the
+// instance's batches; `initial` holds one leaf per oracle at the query index.
+static E fri_combine_initial(const std::vector<FriBatch>& batches,
+                             const std::vector<E>& reduced,
+                             const std::vector<bool>& oracle_blinding,
+                             bool hiding, E alpha, u64 subgroup_x,
+                             const std::vector<InitialOpen>& initial) {
+  ReducingFactor rf(alpha);
+  E total = EZERO;
+  E sx = efrom(subgroup_x);
+  for (size_t bi = 0; bi < batches.size(); bi++) {
+    std::vector<u64> evals;
+    for (auto& pr : batches[bi].polys) {
+      const auto& ev = initial[pr.oracle].evals;
+      bool salted = hiding && oracle_blinding[pr.oracle];
+      u64 limit = ev.size() - (salted ? 4 : 0);
+      if (pr.index >= limit) throw std::runtime_error("oracle index out of range");
+      evals.push_back(ev[pr.index]);
+    }
+    E reduced_evals = rf.reduce_base(evals);
+    E numerator = esub(reduced_evals, reduced[bi]);
+    E denominator = esub(sx, batches[bi].point);
+    total = rf.shift(total);
+    total = eadd(total, ediv(numerator, denominator));
+  }
+  return total;
+}
+
+// Instance-generic FRI verification core (reference fri/verifier.rs:62-241);
+// the plonk wrapper below supplies the plonk batch layout, the STARK mode
+// its own.
+static void verify_fri_core(const FriParamsC& params,
+                            const std::vector<FriBatch>& batches,
+                            const std::vector<std::vector<E>>& batch_values,
+                            const std::vector<bool>& oracle_blinding,
+                            const FriChallengesC& ch,
+                            const std::vector<const std::vector<GD>*>& caps,
+                            const FriProofC& fp) {
   if (ch.pow_response >= (1ull << (64 - params.cfg.pow_bits)))
     throw std::runtime_error("Invalid proof of work witness.");
   if (params.cfg.num_query_rounds != fp.rounds.size())
     throw std::runtime_error("Number of query rounds does not match config.");
 
-  auto batches = fri_batches(cd, zeta);
-  auto batch_values = fri_opening_values(open);
-  std::vector<E> reduced;
-  for (auto& bv : batch_values) {
-    ReducingFactor rf(ch.alpha);
-    reduced.push_back(rf.reduce_ext(bv));
-  }
-  bool oracle_blinding[4] = {false, params.hiding, params.hiding, params.hiding};
+  auto reduced = reduce_batch_values(batch_values, ch.alpha);
 
-  u64 n = params.lde_size();
   int log_n = (int)params.lde_bits();
 
   for (size_t q = 0; q < fp.rounds.size(); q++) {
@@ -1319,26 +1358,9 @@ static void verify_fri_proof(const CommonC& cd, E zeta,
     u64 subgroup_x = gl_mul(
         MULT_GROUP_GEN, gl_exp(root_of_unity(log_n), reverse_bits(x_index, log_n)));
 
-    // fri_combine_initial
-    ReducingFactor rf(ch.alpha);
-    E total = EZERO;
-    E sx = efrom(subgroup_x);
-    for (size_t bi = 0; bi < batches.size(); bi++) {
-      std::vector<u64> evals;
-      for (auto& pr : batches[bi].polys) {
-        const auto& ev = rd.initial[pr.oracle].evals;
-        bool salted = params.hiding && oracle_blinding[pr.oracle];
-        u64 limit = ev.size() - (salted ? 4 : 0);
-        if (pr.index >= limit) throw std::runtime_error("oracle index out of range");
-        evals.push_back(ev[pr.index]);
-      }
-      E reduced_evals = rf.reduce_base(evals);
-      E numerator = esub(reduced_evals, reduced[bi]);
-      E denominator = esub(sx, batches[bi].point);
-      total = rf.shift(total);
-      total = eadd(total, ediv(numerator, denominator));
-    }
-    E old_eval = total;
+    E old_eval = fri_combine_initial(batches, reduced, oracle_blinding,
+                                     params.hiding, ch.alpha, subgroup_x,
+                                     rd.initial);
 
     for (size_t i = 0; i < params.arities.size(); i++) {
       u64 arity_bits = params.arities[i];
@@ -1364,14 +1386,41 @@ static void verify_fri_proof(const CommonC& cd, E zeta,
   }
 }
 
+static void verify_fri_proof(const CommonC& cd, E zeta,
+                             const FriChallengesC& ch,
+                             const std::vector<const std::vector<GD>*>& caps,
+                             const FriProofC& fp, const OpeningSetC& open) {
+  const auto& params = cd.fri_params;
+  std::vector<bool> oracle_blinding = {false, params.hiding, params.hiding,
+                                       params.hiding};
+  verify_fri_core(params, fri_batches(cd, zeta), fri_opening_values(open),
+                  oracle_blinding, ch, caps, fp);
+}
+
 // ---------------------------------------------------------------------------
 // Top-level verify (reference plonk/verifier.rs:17-118 + get_challenges.rs)
 // ---------------------------------------------------------------------------
 
-static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf) {
-  if (pf.public_inputs.size() != cd.num_public_inputs)
-    throw std::runtime_error("Wrong number of public inputs");
-  Digest pis_hash = hash_no_pad(pf.public_inputs);
+struct PlonkChallenges {
+  std::vector<u64> betas, gammas, alphas, deltas;
+  E zeta;
+  FriChallengesC fch;
+  Digest pis_hash;
+};
+
+// Full Fiat-Shamir transcript replay (reference plonk/get_challenges.rs:26-95
+// + fri/challenges.rs:28-95). Shared by the direct verifier and the
+// compressed-proof decompression (whose inference needs the query indices
+// before the FRI rounds exist).
+static PlonkChallenges plonk_challenges(
+    const VerifierOnlyC& vd, const CommonC& cd,
+    const std::vector<GD>& wires_cap, const std::vector<GD>& zpp_cap,
+    const std::vector<GD>& quot_cap, const OpeningSetC& open,
+    const std::vector<std::vector<GD>>& fri_caps,
+    const std::vector<E>& final_poly, u64 pow_witness,
+    const std::vector<u64>& public_inputs) {
+  PlonkChallenges out;
+  out.pis_hash = hash_no_pad(public_inputs);
 
   u64 nc = cd.config.num_challenges;
   bool has_lookup = cd.num_lookup_polys != 0;
@@ -1379,38 +1428,53 @@ static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf)
   Challenger ch;
   cd.fri_params.observe(ch);
   ch.observe_digest(vd.circuit_digest);
-  ch.observe_digest(gd_from_felts(pis_hash));
-  ch.observe_cap(pf.wires_cap);
-  std::vector<u64> betas, gammas, alphas, deltas;
-  for (u64 i = 0; i < nc; i++) betas.push_back(ch.challenge());
-  for (u64 i = 0; i < nc; i++) gammas.push_back(ch.challenge());
+  ch.observe_digest(gd_from_felts(out.pis_hash));
+  ch.observe_cap(wires_cap);
+  for (u64 i = 0; i < nc; i++) out.betas.push_back(ch.challenge());
+  for (u64 i = 0; i < nc; i++) out.gammas.push_back(ch.challenge());
   if (has_lookup) {
-    deltas = betas;
-    deltas.insert(deltas.end(), gammas.begin(), gammas.end());
+    out.deltas = out.betas;
+    out.deltas.insert(out.deltas.end(), out.gammas.begin(), out.gammas.end());
     u64 extra = 4 * nc - 2 * nc;
-    for (u64 i = 0; i < extra; i++) deltas.push_back(ch.challenge());
+    for (u64 i = 0; i < extra; i++) out.deltas.push_back(ch.challenge());
   }
-  ch.observe_cap(pf.zpp_cap);
-  for (u64 i = 0; i < nc; i++) alphas.push_back(ch.challenge());
-  ch.observe_cap(pf.quot_cap);
-  E zeta = ch.ext_challenge();
+  ch.observe_cap(zpp_cap);
+  for (u64 i = 0; i < nc; i++) out.alphas.push_back(ch.challenge());
+  ch.observe_cap(quot_cap);
+  out.zeta = ch.ext_challenge();
 
-  for (auto& bv : fri_opening_values(pf.open))
+  for (auto& bv : fri_opening_values(open))
     for (auto& e : bv) ch.observe_ext(e);
 
-  // FRI challenges (reference fri/challenges.rs:28-95)
-  FriChallengesC fch;
-  fch.alpha = ch.ext_challenge();
-  for (auto& cap : pf.fri.caps) {
+  out.fch.alpha = ch.ext_challenge();
+  for (auto& cap : fri_caps) {
     ch.observe_cap(cap);
-    fch.betas.push_back(ch.ext_challenge());
+    out.fch.betas.push_back(ch.ext_challenge());
   }
-  for (auto& e : pf.fri.final_poly) ch.observe_ext(e);
-  ch.observe(pf.fri.pow_witness);
-  fch.pow_response = ch.challenge();
+  for (auto& e : final_poly) ch.observe_ext(e);
+  ch.observe(pow_witness);
+  out.fch.pow_response = ch.challenge();
   u64 lde = cd.fri_params.lde_size();
   for (u64 i = 0; i < cd.config.fri.num_query_rounds; i++)
-    fch.query_indices.push_back(ch.challenge() % lde);
+    out.fch.query_indices.push_back(ch.challenge() % lde);
+  return out;
+}
+
+static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf) {
+  if (pf.public_inputs.size() != cd.num_public_inputs)
+    throw std::runtime_error("Wrong number of public inputs");
+
+  u64 nc = cd.config.num_challenges;
+  PlonkChallenges pc = plonk_challenges(
+      vd, cd, pf.wires_cap, pf.zpp_cap, pf.quot_cap, pf.open, pf.fri.caps,
+      pf.fri.final_poly, pf.fri.pow_witness, pf.public_inputs);
+  const Digest& pis_hash = pc.pis_hash;
+  const std::vector<u64>& betas = pc.betas;
+  const std::vector<u64>& gammas = pc.gammas;
+  const std::vector<u64>& alphas = pc.alphas;
+  const std::vector<u64>& deltas = pc.deltas;
+  E zeta = pc.zeta;
+  const FriChallengesC& fch = pc.fch;
 
   // vanishing-poly / quotient identity at zeta
   E pis_e[4];
@@ -1438,6 +1502,465 @@ static void verify(const VerifierOnlyC& vd, const CommonC& cd, const ProofC& pf)
 }
 
 // ---------------------------------------------------------------------------
+// Compressed proofs: Merkle-path dedup + inferred FRI evals
+// (reference plonk/proof.rs:110-128, hash/path_compression.rs:12-52,
+// serialization/mod.rs:1042-1160; dual of this repo's plonk/compressed.py)
+// ---------------------------------------------------------------------------
+
+struct CompressedFriProofC {
+  std::vector<std::vector<GD>> caps;
+  std::vector<u64> indices; // original 28 query indices (u32 on the wire)
+  std::map<u64, std::vector<InitialOpen>> initial; // unique index -> per-oracle
+  std::vector<std::map<u64, FriQueryStepC>> steps; // per reduction, arity-1 evals
+  std::vector<E> final_poly;
+  u64 pow_witness;
+};
+
+struct CompressedProofC {
+  std::vector<GD> wires_cap, zpp_cap, quot_cap;
+  OpeningSetC open;
+  CompressedFriProofC fri;
+  std::vector<u64> public_inputs;
+};
+
+static CompressedProofC read_compressed_proof(Reader& r, const CommonC& cd) {
+  CompressedProofC pf;
+  u64 ch = cd.config.fri.cap_height;
+  pf.wires_cap = read_cap(r, ch);
+  pf.zpp_cap = read_cap(r, ch);
+  pf.quot_cap = read_cap(r, ch);
+  auto& o = pf.open;
+  u64 nc = cd.config.num_challenges;
+  o.constants = r.exts(cd.num_constants);
+  o.sigmas = r.exts(cd.config.num_routed_wires);
+  o.wires = r.exts(cd.config.num_wires);
+  o.zs = r.exts(nc);
+  o.zs_next = r.exts(nc);
+  o.lookup_zs = r.exts(cd.num_all_lookup());
+  o.lookup_zs_next = r.exts(cd.num_all_lookup());
+  o.partial_products = r.exts(nc * cd.num_partial_products);
+  o.quotient = r.exts(cd.num_quotient());
+
+  const auto& fp = cd.fri_params;
+  u64 salt = fp.hiding ? 4 : 0;
+  std::vector<u64> leaves_per_oracle = {
+      cd.num_preprocessed(), cd.config.num_wires + salt,
+      cd.num_zs_pp() + cd.num_all_lookup() + salt, cd.num_quotient() + salt};
+  for (size_t i = 0; i < fp.arities.size(); i++)
+    pf.fri.caps.push_back(read_cap(r, fp.cfg.cap_height));
+  for (u64 q = 0; q < fp.cfg.num_query_rounds; q++)
+    pf.fri.indices.push_back(r.read_u32());
+  std::vector<u64> uniq = pf.fri.indices;
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  for (u64 i : uniq) {
+    std::vector<InitialOpen> per_oracle;
+    for (u64 nl : leaves_per_oracle) {
+      InitialOpen io;
+      io.evals = r.fields(nl);
+      io.mp = read_merkle_proof(r);
+      per_oracle.push_back(std::move(io));
+    }
+    pf.fri.initial.emplace(i, std::move(per_oracle));
+  }
+  for (u64 ab : fp.arities) {
+    for (auto& x : uniq) x >>= ab;
+    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+    std::map<u64, FriQueryStepC> layer;
+    for (u64 i : uniq) {
+      FriQueryStepC st;
+      st.evals = r.exts((1ull << ab) - 1);
+      st.mp = read_merkle_proof(r);
+      layer.emplace(i, std::move(st));
+    }
+    pf.fri.steps.push_back(std::move(layer));
+  }
+  u64 final_bits = fp.degree_bits;
+  for (u64 ab : fp.arities) final_bits -= ab;
+  pf.fri.final_poly = r.exts(1ull << final_bits);
+  pf.fri.pow_witness = r.field();
+  // public inputs: remaining bytes, no length prefix (mod.rs:1144-1160)
+  pf.public_inputs = r.fields((r.n - r.pos) / 8);
+  return pf;
+}
+
+// Exact dual of plonk/compressed.py decompress_merkle_proofs: iterate the
+// (possibly duplicated) query indices layer-major, pulling each unknown
+// sibling from that index's compressed proof — the consumption order must
+// match the compressor's marking order.
+static std::vector<MerkleProofC> decompress_merkle_proofs(
+    const std::vector<std::vector<u64>>& leaves_data,
+    const std::vector<u64>& leaves_indices,
+    const std::vector<const MerkleProofC*>& compressed, u64 height,
+    u64 cap_height) {
+  u64 num_leaves = 1ull << height;
+  std::map<u64, GD> seen;
+  for (size_t k = 0; k < leaves_indices.size(); k++)
+    seen[leaves_indices[k] + num_leaves] = gd_hash_or_noop(leaves_data[k]);
+  std::vector<size_t> sib_pos(leaves_indices.size(), 0);
+  for (u64 layer = 0; layer + cap_height < height; layer++) {
+    for (size_t k = 0; k < leaves_indices.size(); k++) {
+      u64 index = (leaves_indices[k] + num_leaves) >> layer;
+      GD current = seen.at(index);
+      u64 sibling_index = index ^ 1;
+      auto it = seen.find(sibling_index);
+      if (it == seen.end()) {
+        if (sib_pos[k] >= compressed[k]->sibs.size())
+          throw std::runtime_error("compressed Merkle proof exhausted");
+        it = seen.emplace(sibling_index,
+                          compressed[k]->sibs[sib_pos[k]++]).first;
+      }
+      GD parent = (index % 2 == 0) ? gd_two_to_one(current, it->second)
+                                   : gd_two_to_one(it->second, current);
+      seen[index >> 1] = parent;
+    }
+  }
+  std::vector<MerkleProofC> out;
+  for (u64 i : leaves_indices) {
+    MerkleProofC mp;
+    u64 index = i + num_leaves;
+    for (u64 l = 0; l + cap_height < height; l++) {
+      mp.sibs.push_back(seen.at(index ^ 1));
+      index >>= 1;
+    }
+    out.push_back(std::move(mp));
+  }
+  return out;
+}
+
+// Rebuild the full FriProofC from the compressed form: re-infer the dropped
+// fold evals (reference plonk/proof.rs decompress + compressed.py
+// _get_inferred_elements) and regenerate the deduplicated Merkle siblings.
+static FriProofC decompress_fri_proof(const CompressedFriProofC& cfp,
+                                      const CommonC& cd, E zeta,
+                                      const FriChallengesC& fch,
+                                      const OpeningSetC& open) {
+  const auto& params = cd.fri_params;
+  auto batches = fri_batches(cd, zeta);
+  auto reduced = reduce_batch_values(fri_opening_values(open), fch.alpha);
+  std::vector<bool> oracle_blinding = {false, params.hiding, params.hiding,
+                                       params.hiding};
+  int log_n = (int)params.lde_bits();
+  size_t num_reductions = params.arities.size();
+
+  // infer the dropped evals per first-encounter of each coset
+  std::vector<std::map<u64, std::vector<E>>> evals_by_depth(num_reductions);
+  for (u64 x_index0 : fch.query_indices) {
+    u64 x_index = x_index0;
+    u64 subgroup_x = gl_mul(
+        MULT_GROUP_GEN, gl_exp(root_of_unity(log_n), reverse_bits(x_index, log_n)));
+    E old_eval = fri_combine_initial(batches, reduced, oracle_blinding,
+                                     params.hiding, fch.alpha, subgroup_x,
+                                     cfp.initial.at(x_index));
+    for (size_t i = 0; i < num_reductions; i++) {
+      u64 ab = params.arities[i];
+      u64 coset_index = x_index >> ab;
+      if (evals_by_depth[i].count(coset_index)) break;
+      u64 within = x_index & ((1ull << ab) - 1);
+      std::vector<E> evals = cfp.steps[i].at(coset_index).evals;
+      evals.insert(evals.begin() + within, old_eval);
+      evals_by_depth[i][coset_index] = evals;
+      old_eval = compute_evaluation(subgroup_x, within, ab, evals, fch.betas[i]);
+      subgroup_x = gl_exp(subgroup_x, 1ull << ab);
+      x_index = coset_index;
+    }
+  }
+
+  // regenerate Merkle siblings, per oracle / per reduction layer
+  size_t num_initial_trees = cfp.initial.begin()->second.size();
+  u64 height = params.lde_bits();
+  std::vector<std::vector<MerkleProofC>> it_proofs(num_initial_trees);
+  for (size_t oi = 0; oi < num_initial_trees; oi++) {
+    std::vector<std::vector<u64>> leaves;
+    std::vector<u64> idxs;
+    std::vector<const MerkleProofC*> comps;
+    for (u64 x : fch.query_indices) {
+      leaves.push_back(cfp.initial.at(x)[oi].evals);
+      idxs.push_back(x);
+      comps.push_back(&cfp.initial.at(x)[oi].mp);
+    }
+    it_proofs[oi] = decompress_merkle_proofs(leaves, idxs, comps, height,
+                                             params.cfg.cap_height);
+  }
+  std::vector<std::vector<MerkleProofC>> st_proofs(num_reductions);
+  {
+    std::vector<u64> idxs(fch.query_indices);
+    u64 h = height;
+    for (size_t i = 0; i < num_reductions; i++) {
+      u64 ab = params.arities[i];
+      h -= ab;
+      std::vector<std::vector<u64>> leaves;
+      std::vector<const MerkleProofC*> comps;
+      for (auto& x : idxs) {
+        x >>= ab;
+        const auto& ev = evals_by_depth[i].at(x);
+        std::vector<u64> flat;
+        for (auto& e : ev) { flat.push_back(e.a); flat.push_back(e.b); }
+        leaves.push_back(std::move(flat));
+        comps.push_back(&cfp.steps[i].at(x).mp);
+      }
+      st_proofs[i] = decompress_merkle_proofs(leaves, idxs, comps, h,
+                                              params.cfg.cap_height);
+    }
+  }
+
+  FriProofC out;
+  out.caps = cfp.caps;
+  out.final_poly = cfp.final_poly;
+  out.pow_witness = cfp.pow_witness;
+  for (size_t q = 0; q < fch.query_indices.size(); q++) {
+    FriQueryRoundC rd;
+    u64 x = fch.query_indices[q];
+    for (size_t oi = 0; oi < num_initial_trees; oi++) {
+      InitialOpen io;
+      io.evals = cfp.initial.at(x)[oi].evals;
+      io.mp = it_proofs[oi][q];
+      rd.initial.push_back(std::move(io));
+    }
+    for (size_t i = 0; i < num_reductions; i++) {
+      x >>= params.arities[i];
+      FriQueryStepC st;
+      st.evals = evals_by_depth[i].at(x);
+      st.mp = st_proofs[i][q];
+      rd.steps.push_back(std::move(st));
+    }
+    out.rounds.push_back(std::move(rd));
+  }
+  return out;
+}
+
+static void verify_compressed(const VerifierOnlyC& vd, const CommonC& cd,
+                              const CompressedProofC& cpf) {
+  PlonkChallenges pc = plonk_challenges(
+      vd, cd, cpf.wires_cap, cpf.zpp_cap, cpf.quot_cap, cpf.open,
+      cpf.fri.caps, cpf.fri.final_poly, cpf.fri.pow_witness,
+      cpf.public_inputs);
+  // the drawn indices must match the serialized ones (the compressed layout
+  // is keyed by them)
+  if (pc.fch.query_indices.size() != cpf.fri.indices.size())
+    throw std::runtime_error("query index count mismatch");
+  for (size_t i = 0; i < cpf.fri.indices.size(); i++)
+    if (pc.fch.query_indices[i] != cpf.fri.indices[i])
+      throw std::runtime_error("compressed query indices do not match transcript");
+  ProofC pf;
+  pf.wires_cap = cpf.wires_cap;
+  pf.zpp_cap = cpf.zpp_cap;
+  pf.quot_cap = cpf.quot_cap;
+  pf.open = cpf.open;
+  pf.public_inputs = cpf.public_inputs;
+  pf.fri = decompress_fri_proof(cpf.fri, cd, pc.zeta, pc.fch, cpf.open);
+  verify(vd, cd, pf);
+}
+
+// ---------------------------------------------------------------------------
+// STARK verification (reference starky/src/verifier.rs:30-215,
+// get_challenges.rs, vanishing_poly.rs) for the FibonacciStark driver
+// fixture (starky/fibonacci_stark.py; standard_fast_config) — byte layout
+// per this repo's starky/serialization.py.
+// ---------------------------------------------------------------------------
+
+struct StarkProofC {
+  u64 degree_bits;
+  std::vector<GD> trace_cap, quot_cap;
+  bool has_aux = false, has_quot = false;
+  std::vector<GD> aux_cap;
+  std::vector<E> local_values, next_values, quotient;
+  FriProofC fri;
+  std::vector<u64> public_inputs;
+};
+
+static void verify_stark_fibonacci(Reader& r) {
+  // standard_fast_config (starky/config.rs:52-64)
+  FriConfigC fc;
+  fc.rate_bits = 1; fc.cap_height = 4; fc.pow_bits = 16;
+  fc.num_query_rounds = 84; fc.strat_kind = 1; fc.arity_bits = 4;
+  fc.final_poly_bits = 5;
+  const u64 security_bits = 100, nc = 2;
+  const u64 COLS = 2;     // FibonacciStark
+  const u64 QDF = 1;      // max(1, constraint_degree-1), degree 2
+
+  // -- parse (starky/serialization.py read_stark_proof) ----------------------
+  StarkProofC pf;
+  pf.degree_bits = r.usize();
+  pf.trace_cap = read_cap(r, fc.cap_height);
+  pf.has_aux = r.u8() != 0;
+  if (pf.has_aux) pf.aux_cap = read_cap(r, fc.cap_height);
+  pf.has_quot = r.u8() != 0;
+  if (pf.has_quot) pf.quot_cap = read_cap(r, fc.cap_height);
+  u64 n_local = r.usize();
+  if (n_local != COLS) throw std::runtime_error("wrong trace width");
+  pf.local_values = r.exts(n_local);
+  pf.next_values = r.exts(n_local);
+  if (r.u8() != 0) throw std::runtime_error("unexpected aux openings");
+  if (r.u8() != 0) throw std::runtime_error("unexpected aux_next openings");
+  if (r.u8() != 0) throw std::runtime_error("unexpected ctl_zs_first");
+  if (r.u8() == 0) throw std::runtime_error("missing quotient openings");
+  u64 n_quot = r.usize();
+  if (n_quot != QDF * nc) throw std::runtime_error("wrong quotient count");
+  pf.quotient = r.exts(n_quot);
+  if (pf.has_aux) throw std::runtime_error("unexpected aux cap");
+  if (!pf.has_quot) throw std::runtime_error("missing quotient cap");
+
+  FriParamsC params;
+  params.cfg = fc;
+  params.hiding = false;
+  params.degree_bits = pf.degree_bits;
+  {
+    u64 db = pf.degree_bits; // ConstantArityBits (reduction_strategies.rs)
+    while (db > fc.final_poly_bits &&
+           db + fc.rate_bits - fc.arity_bits >= fc.cap_height) {
+      params.arities.push_back(fc.arity_bits);
+      db -= fc.arity_bits;
+    }
+  }
+  std::vector<u64> leaves_per_oracle = {COLS, QDF * nc};
+  for (size_t i = 0; i < params.arities.size(); i++)
+    pf.fri.caps.push_back(read_cap(r, fc.cap_height));
+  for (u64 q = 0; q < fc.num_query_rounds; q++) {
+    FriQueryRoundC rd;
+    for (u64 nl : leaves_per_oracle) {
+      InitialOpen io;
+      io.evals = r.fields(nl);
+      io.mp = read_merkle_proof(r);
+      rd.initial.push_back(std::move(io));
+    }
+    for (u64 ab : params.arities) {
+      FriQueryStepC st;
+      st.evals = r.exts(1ull << ab);
+      st.mp = read_merkle_proof(r);
+      rd.steps.push_back(std::move(st));
+    }
+    pf.fri.rounds.push_back(std::move(rd));
+  }
+  u64 final_bits = pf.degree_bits;
+  for (u64 ab : params.arities) final_bits -= ab;
+  pf.fri.final_poly = r.exts(1ull << final_bits);
+  pf.fri.pow_witness = r.field();
+  pf.public_inputs = r.fields(r.usize());
+  if (r.pos != r.n) throw std::runtime_error("trailing STARK proof bytes");
+  if (pf.public_inputs.size() != 3)
+    throw std::runtime_error("wrong number of public inputs");
+
+  // -- FibonacciStark alpha-combined constraint evaluation at a point
+  //    (starky/fibonacci_stark.py eval + constraint_consumer.py) ------------
+  auto fib_vanishing = [&](const std::vector<E>& local,
+                           const std::vector<E>& next,
+                           const std::vector<u64>& alphas,
+                           E zeta) -> std::vector<E> {
+    u64 n = 1ull << pf.degree_bits;
+    u64 g = root_of_unity((int)pf.degree_bits);
+    E z_x = eaddc(eexp(zeta, n), P - 1);
+    E l0 = ediv(z_x, escalar(n % P, eaddc(zeta, P - 1)));
+    E llast = ediv(z_x, escalar(n % P, eaddc(escalar(g, zeta), P - 1)));
+    E z_last = esub(zeta, efrom(gl_inv(g)));
+    std::vector<E> accs(nc, EZERO);
+    auto cons = [&](E c) {
+      for (u64 i = 0; i < nc; i++)
+        accs[i] = eadd(emul(efrom(alphas[i]), accs[i]), c);
+    };
+    cons(emul(esub(local[0], efrom(pf.public_inputs[0])), l0));
+    cons(emul(esub(local[1], efrom(pf.public_inputs[1])), l0));
+    cons(emul(esub(local[1], efrom(pf.public_inputs[2])), llast));
+    cons(emul(esub(next[0], local[1]), z_last));
+    cons(emul(esub(next[1], eadd(local[0], local[1])), z_last));
+    return accs;
+  };
+
+  // -- transcript replay (starky/get_challenges.py) --------------------------
+  Challenger ch;
+  for (u64 pi : pf.public_inputs) ch.observe(pi);
+  ch.observe(security_bits);
+  ch.observe(nc);
+  ch.observe(fc.rate_bits);
+  ch.observe(fc.cap_height);
+  ch.observe(fc.pow_bits);
+  for (u64 x : fc.strategy_felts()) ch.observe(x);
+  ch.observe(fc.num_query_rounds);
+  ch.observe_cap(pf.trace_cap);
+
+  std::vector<u64> alphas_prime;
+  for (u64 i = 0; i < nc; i++) alphas_prime.push_back(ch.challenge());
+
+  // constraint binding: dummy openings from challenge powers
+  // (starky/vanishing.py get_dummy_polys; get_challenges.rs:202-252)
+  const u64 pow_degree = 3;        // max(2, constraint_degree + 1)
+  const u64 log_pow_degree = 2;    // log2_ceil(3)
+  u64 num_extension_powers = 50 / log_pow_degree - 1;
+  if (num_extension_powers < 1) num_extension_powers = 1;
+  u64 total = COLS * 2;
+  u64 num_zetas = (total + num_extension_powers - 1) / num_extension_powers;
+  u64 nb_dummy = std::min(num_extension_powers + 1, total);
+  std::vector<E> dummy;
+  for (u64 z = 0; z < num_zetas; z++) {
+    E cur = ch.ext_challenge();
+    for (u64 k = 0; k < nb_dummy; k++) {
+      dummy.push_back(cur);
+      cur = eexp(cur, pow_degree);
+    }
+  }
+  E zeta_prime = ch.ext_challenge();
+  std::vector<E> dummy_local(dummy.begin(), dummy.begin() + COLS);
+  std::vector<E> dummy_next(dummy.begin() + COLS, dummy.begin() + 2 * COLS);
+  for (E c : fib_vanishing(dummy_local, dummy_next, alphas_prime, zeta_prime))
+    ch.observe_ext(c);
+
+  std::vector<u64> alphas;
+  for (u64 i = 0; i < nc; i++) alphas.push_back(ch.challenge());
+  ch.observe_cap(pf.quot_cap);
+  E zeta = ch.ext_challenge();
+
+  // openings observed in to_fri_openings order (starky/proof.py:20-35)
+  for (E e : pf.local_values) ch.observe_ext(e);
+  for (E e : pf.quotient) ch.observe_ext(e);
+  for (E e : pf.next_values) ch.observe_ext(e);
+
+  FriChallengesC fch;
+  fch.alpha = ch.ext_challenge();
+  for (auto& cap : pf.fri.caps) {
+    ch.observe_cap(cap);
+    fch.betas.push_back(ch.ext_challenge());
+  }
+  for (auto& e : pf.fri.final_poly) ch.observe_ext(e);
+  ch.observe(pf.fri.pow_witness);
+  fch.pow_response = ch.challenge();
+  u64 lde = params.lde_size();
+  for (u64 i = 0; i < fc.num_query_rounds; i++)
+    fch.query_indices.push_back(ch.challenge() % lde);
+
+  // -- quotient identity at zeta (starky/verifier.py) ------------------------
+  std::vector<E> vanishing = fib_vanishing(pf.local_values, pf.next_values,
+                                           alphas, zeta);
+  u64 n = 1ull << pf.degree_bits;
+  E zeta_pow_deg = eexp(zeta, n);
+  E z_h_zeta = eaddc(zeta_pow_deg, P - 1);
+  for (u64 i = 0; i < nc; i++) {
+    E t_zeta = EZERO;
+    for (u64 k = QDF; k > 0; k--)
+      t_zeta = eadd(emul(t_zeta, zeta_pow_deg), pf.quotient[i * QDF + k - 1]);
+    if (!eeq(vanishing[i], emul(z_h_zeta, t_zeta)))
+      throw std::runtime_error("STARK quotient identity check failed");
+  }
+
+  // -- FRI (stark.fri_instance: trace+quotient @ zeta, trace @ g*zeta) ------
+  std::vector<FriBatch> batches;
+  FriBatch b0;
+  b0.point = zeta;
+  for (u64 i = 0; i < COLS; i++) b0.polys.push_back({0, i});
+  for (u64 i = 0; i < QDF * nc; i++) b0.polys.push_back({1, i});
+  FriBatch b1;
+  b1.point = escalar(root_of_unity((int)pf.degree_bits), zeta);
+  for (u64 i = 0; i < COLS; i++) b1.polys.push_back({0, i});
+  batches.push_back(std::move(b0));
+  batches.push_back(std::move(b1));
+  std::vector<E> bv0(pf.local_values);
+  bv0.insert(bv0.end(), pf.quotient.begin(), pf.quotient.end());
+  std::vector<std::vector<E>> batch_values = {bv0, pf.next_values};
+  std::vector<const std::vector<GD>*> caps = {&pf.trace_cap, &pf.quot_cap};
+  verify_fri_core(params, batches, batch_values, {false, false}, fch, caps,
+                  pf.fri);
+}
+
+// ---------------------------------------------------------------------------
 
 static std::vector<uint8_t> read_file(const char* path) {
   FILE* f = fopen(path, "rb");
@@ -1456,12 +1979,29 @@ static std::vector<uint8_t> read_file(const char* path) {
 
 int main(int argc, char** argv) {
   int argi = 1;
-  if (argc >= 2 && strcmp(argv[1], "--keccak") == 0) { KECCAK = true; argi = 2; }
-  if (argc - argi != 2) {
-    fprintf(stderr, "usage: %s [--keccak] <verifier_data.bin> <proof.bin>\n", argv[0]);
+  bool compressed = false, stark = false;
+  while (argi < argc && argv[argi][0] == '-') {
+    if (strcmp(argv[argi], "--keccak") == 0) KECCAK = true;
+    else if (strcmp(argv[argi], "--compressed") == 0) compressed = true;
+    else if (strcmp(argv[argi], "--stark") == 0) stark = true;
+    else break;
+    argi++;
+  }
+  if ((stark && argc - argi != 1) || (!stark && argc - argi != 2)) {
+    fprintf(stderr,
+            "usage: %s [--keccak] [--compressed] <verifier_data.bin> <proof.bin>\n"
+            "       %s --stark <stark_proof.bin>   (FibonacciStark, standard_fast_config)\n",
+            argv[0], argv[0]);
     return 2;
   }
   try {
+    if (stark) {
+      auto pf_bytes = read_file(argv[argi]);
+      Reader pr(pf_bytes.data(), pf_bytes.size());
+      verify_stark_fibonacci(pr);
+      printf("OK\n");
+      return 0;
+    }
     auto vd_bytes = read_file(argv[argi]);
     Reader vr(vd_bytes.data(), vd_bytes.size());
     VerifierOnlyC vd;
@@ -1473,10 +2013,15 @@ int main(int argc, char** argv) {
 
     auto pf_bytes = read_file(argv[argi + 1]);
     Reader pr(pf_bytes.data(), pf_bytes.size());
-    ProofC pf = read_proof(pr, cd);
-    if (pr.pos != pr.n) throw std::runtime_error("trailing proof bytes");
-
-    verify(vd, cd, pf);
+    if (compressed) {
+      CompressedProofC cpf = read_compressed_proof(pr, cd);
+      if (pr.pos != pr.n) throw std::runtime_error("trailing proof bytes");
+      verify_compressed(vd, cd, cpf);
+    } else {
+      ProofC pf = read_proof(pr, cd);
+      if (pr.pos != pr.n) throw std::runtime_error("trailing proof bytes");
+      verify(vd, cd, pf);
+    }
     printf("OK\n");
     return 0;
   } catch (const std::exception& e) {

@@ -103,6 +103,48 @@ class Writer:
         self.write_usize(len(pwp.public_inputs))
         self.write_field_vec(pwp.public_inputs)
 
+    # -- compressed proofs (reference serialization/mod.rs:2032-2126) --------
+
+    def write_u32(self, x: int) -> None:
+        self.buf += struct.pack("<I", x)
+
+    def write_compressed_fri_proof(self, cfp, params) -> None:
+        """Reference write_compressed_fri_proof: caps, the 28 original query
+        indices as u32s, initial proofs for the sorted+deduped indices, then
+        per reduction the (index >> arity)-deduped steps — each step's evals
+        missing the one element the verifier re-infers."""
+        for cap in cfp.commit_phase_merkle_caps:
+            self.write_merkle_cap(cap)
+        q = cfp.query_round_proofs
+        for i in q.indices:
+            self.write_u32(i)
+        indices = sorted(set(q.indices))
+        for i in indices:
+            for v, p in q.initial_trees_proofs[i].evals_proofs:
+                self.write_field_vec(v)
+                self.write_merkle_proof(p)
+        for a, h in zip(params.reduction_arity_bits, q.steps):
+            indices = sorted({i >> a for i in indices})
+            for i in indices:
+                fqs = h[i]
+                self.write_field_ext_vec(fqs.evals)
+                self.write_merkle_proof(fqs.merkle_proof)
+        self.write_field_ext_vec(cfp.final_poly)
+        self.write_field(cfp.pow_witness)
+
+    def write_compressed_proof(self, proof, params) -> None:
+        self.write_merkle_cap(proof.wires_cap)
+        self.write_merkle_cap(proof.plonk_zs_partial_products_cap)
+        self.write_merkle_cap(proof.quotient_polys_cap)
+        self.write_opening_set(proof.openings)
+        self.write_compressed_fri_proof(proof.opening_proof, params)
+
+    def write_compressed_proof_with_public_inputs(self, cpwp, params) -> None:
+        """Reference layout: proof then the public inputs with NO length
+        prefix (read_field_vec(remaining), mod.rs:1144-1160)."""
+        self.write_compressed_proof(cpwp.proof, params)
+        self.write_field_vec(cpwp.public_inputs)
+
 
 class Reader:
     def __init__(self, data: bytes):
@@ -226,6 +268,86 @@ class Reader:
         public_inputs = self.read_field_vec(n)
         return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
 
+    # -- compressed proofs (reference serialization/mod.rs:1042-1160) --------
+
+    def read_u32(self) -> int:
+        (x,) = struct.unpack_from("<I", self.data, self.pos)
+        self.pos += 4
+        return x
+
+    def read_compressed_fri_proof(self, num_leaves_per_oracle, params):
+        from plonky2_tpu.plonk.compressed import (
+            CompressedFriProof,
+            CompressedFriQueryRounds,
+        )
+
+        caps = [
+            self.read_merkle_cap(params.config.cap_height)
+            for _ in params.reduction_arity_bits
+        ]
+        original_indices = [self.read_u32()
+                            for _ in range(params.config.num_query_rounds)]
+        indices = sorted(set(original_indices))
+        initial = {}
+        for i in indices:
+            evals_proofs = [(self.read_field_vec(n), self.read_merkle_proof())
+                            for n in num_leaves_per_oracle]
+            initial[i] = FriInitialTreeProof(evals_proofs=evals_proofs)
+        steps = []
+        for a in params.reduction_arity_bits:
+            indices = sorted({i >> a for i in indices})
+            d = {}
+            for i in indices:
+                d[i] = FriQueryStep(
+                    evals=self.read_field_ext_vec((1 << a) - 1),
+                    merkle_proof=self.read_merkle_proof(),
+                )
+            steps.append(d)
+        final_poly = self.read_field_ext_vec(params.final_poly_len())
+        pow_witness = self.read_field()
+        return CompressedFriProof(
+            commit_phase_merkle_caps=caps,
+            query_round_proofs=CompressedFriQueryRounds(
+                indices=original_indices, initial_trees_proofs=initial,
+                steps=steps),
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+        )
+
+    def read_compressed_proof(self, common):
+        from plonky2_tpu.plonk.compressed import CompressedProof
+
+        config = common.config
+        cap_height = config.fri_config.cap_height
+        wires_cap = self.read_merkle_cap(cap_height)
+        zs_pp_cap = self.read_merkle_cap(cap_height)
+        quotient_cap = self.read_merkle_cap(cap_height)
+        openings = self.read_opening_set(common)
+        salt = 4 if common.fri_params.hiding else 0
+        num_leaves_per_oracle = [
+            common.num_preprocessed_polys(),
+            config.num_wires + salt,
+            common.num_zs_partial_products_polys() + common.num_all_lookup_polys() + salt,
+            common.num_quotient_polys() + salt,
+        ]
+        opening_proof = self.read_compressed_fri_proof(num_leaves_per_oracle,
+                                                       common.fri_params)
+        return CompressedProof(
+            wires_cap=wires_cap,
+            plonk_zs_partial_products_cap=zs_pp_cap,
+            quotient_polys_cap=quotient_cap,
+            openings=openings,
+            opening_proof=opening_proof,
+        )
+
+    def read_compressed_proof_with_public_inputs(self, common):
+        from plonky2_tpu.plonk.compressed import CompressedProofWithPublicInputs
+
+        proof = self.read_compressed_proof(common)
+        public_inputs = self.read_field_vec((len(self.data) - self.pos) // 8)
+        return CompressedProofWithPublicInputs(proof=proof,
+                                               public_inputs=public_inputs)
+
 
 def proof_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
     w = Writer()
@@ -239,3 +361,17 @@ def proof_from_bytes(data: bytes, common) -> ProofWithPublicInputs:
     pwp = r.read_proof_with_public_inputs(common)
     assert r.pos == len(data), f"{len(data) - r.pos} trailing bytes"
     return pwp
+
+
+def compressed_proof_to_bytes(cpwp, common) -> bytes:
+    w = Writer()
+    w.write_compressed_proof_with_public_inputs(cpwp, common.fri_params)
+    return bytes(w.buf)
+
+
+def compressed_proof_from_bytes(data: bytes, common):
+    r = Reader(data)
+    r.hasher = common.generic_config().hasher
+    cpwp = r.read_compressed_proof_with_public_inputs(common)
+    assert r.pos == len(data), f"{len(data) - r.pos} trailing bytes"
+    return cpwp

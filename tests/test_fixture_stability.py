@@ -50,6 +50,23 @@ def test_factorial_fixture():
     _check_plonk_fixture("factorial", build_and_prove)
 
 
+def test_factorial_compressed_fixture():
+    """The committed compressed proof deserializes, verifies through the
+    decompression path, and byte-round-trips (round 4; reference
+    plonk/proof.rs:110-128 + serialization/mod.rs:1042-1160)."""
+    from plonky2_tpu.plonk.compressed import verify_compressed
+    from plonky2_tpu.plonk.serialization import (
+        compressed_proof_from_bytes,
+        compressed_proof_to_bytes,
+    )
+
+    vd, common = verifier_data_from_bytes(_read("factorial.verifier.bin"))
+    blob = _read("factorial.compressed.bin")
+    cpwp = compressed_proof_from_bytes(blob, common)
+    verify_compressed(cpwp, vd, common)
+    assert compressed_proof_to_bytes(cpwp, common) == blob
+
+
 def test_fibonacci_fixture():
     from plonky2_tpu.examples.fibonacci import build_and_prove
 

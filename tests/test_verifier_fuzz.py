@@ -15,7 +15,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
-from fuzz_verifiers import fuzz_one  # noqa: E402
+from fuzz_verifiers import fuzz_one, fuzz_stark  # noqa: E402
 
 from plonky2_tpu import native  # noqa: E402
 
@@ -42,6 +42,14 @@ def verifier_bin():
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
 def test_fuzz_cross_verify(seed, verifier_bin, tmp_path):
     info = fuzz_one(seed, verifier_bin, str(tmp_path))
+    assert info["cpp"] == "OK"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_stark_cross_verify(seed, verifier_bin, tmp_path):
+    """Round 4: random-size FibonacciStark proofs accepted by the native
+    STARK verifier."""
+    info = fuzz_stark(seed, verifier_bin, str(tmp_path))
     assert info["cpp"] == "OK"
 
 

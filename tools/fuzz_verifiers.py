@@ -157,6 +157,59 @@ def fuzz_one(seed: int, verifier_bin=None, tmpdir=None) -> dict:
             f"seed {seed}: C++ verifier rejected a valid proof: "
             f"{res.stderr or res.stdout}")
         info["cpp"] = "OK"
+
+        # direct native verification of the COMPRESSED byte format
+        # (decompression inside the binary) — Poseidon configs only (the
+        # C++ keccak path does not cover path-compressed digests)
+        if not use_keccak:
+            from plonky2_tpu.plonk.serialization import compressed_proof_to_bytes
+
+            cb = os.path.join(tmpdir, f"fuzz_{seed}.compressed.bin")
+            with open(cb, "wb") as f:
+                f.write(compressed_proof_to_bytes(comp, data.common))
+            res = subprocess.run([verifier_bin, "--compressed", vb, cb],
+                                 capture_output=True, text=True, timeout=300)
+            assert res.returncode == 0 and res.stdout.strip() == "OK", (
+                f"seed {seed}: C++ verifier rejected a valid COMPRESSED "
+                f"proof: {res.stderr or res.stdout}")
+            info["cpp_compressed"] = "OK"
+    return info
+
+
+def fuzz_stark(seed: int, verifier_bin=None, tmpdir=None) -> dict:
+    """Prove a random-size FibonacciStark and cross-verify natively."""
+    import os
+    import subprocess
+
+    from plonky2_tpu.starky.config import StarkConfig
+    from plonky2_tpu.starky.fibonacci_stark import FibonacciStark, fibonacci
+    from plonky2_tpu.starky.prover import prove
+    from plonky2_tpu.starky.serialization import stark_proof_to_bytes
+    from plonky2_tpu.starky.verifier import verify_stark_proof
+
+    r = random.Random(seed)
+    log_rows = r.choice([5, 6, 7])
+    x0, x1 = r.randrange(1 << 32), r.randrange(1 << 32)
+    num_rows = 1 << log_rows
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+    public_inputs = [x0, x1, fibonacci(num_rows - 1, x0, x1)]
+    trace = stark.generate_trace(x0, x1)
+    proof = prove(stark, config, trace, public_inputs)
+    verify_stark_proof(stark, proof, config)
+    info = {"seed": seed, "stark": "fibonacci", "log_rows": log_rows,
+            "cpp": None}
+    if verifier_bin is not None:
+        assert tmpdir is not None
+        pb = os.path.join(tmpdir, f"fuzz_stark_{seed}.proof.bin")
+        with open(pb, "wb") as f:
+            f.write(stark_proof_to_bytes(proof, config))
+        res = subprocess.run([verifier_bin, "--stark", pb],
+                             capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0 and res.stdout.strip() == "OK", (
+            f"stark seed {seed}: C++ verifier rejected a valid proof: "
+            f"{res.stderr or res.stdout}")
+        info["cpp"] = "OK"
     return info
 
 
@@ -183,6 +236,9 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         for seed in range(args.start, args.start + args.seeds):
             info = fuzz_one(seed, vbin, td)
+            print(info, flush=True)
+        for seed in range(min(args.seeds, 5)):
+            info = fuzz_stark(seed, vbin, td)
             print(info, flush=True)
     print(f"all {args.seeds} random circuits cross-verified")
 

@@ -34,9 +34,12 @@ def _write(name: str, blob: bytes) -> None:
     print(f"  {name}: {len(blob)} bytes")
 
 
-def plonk_fixture(name: str, build_and_prove):
+def plonk_fixture(name: str, build_and_prove, compressed: bool = False):
     from plonky2_tpu.plonk.circuit_serialization import verifier_data_to_bytes
-    from plonky2_tpu.plonk.serialization import proof_to_bytes
+    from plonky2_tpu.plonk.serialization import (
+        compressed_proof_to_bytes,
+        proof_to_bytes,
+    )
     from plonky2_tpu.util import rng
 
     print(name)
@@ -47,6 +50,11 @@ def plonk_fixture(name: str, build_and_prove):
     _write(f"{name}.proof.bin", proof_to_bytes(proof))
     _write(f"{name}.verifier.bin",
            verifier_data_to_bytes(data.verifier_only, data.common))
+    if compressed:
+        comp = data.compress(proof)
+        data.verify_compressed(comp)
+        _write(f"{name}.compressed.bin",
+               compressed_proof_to_bytes(comp, data.common))
 
 
 def starky_fixture():
@@ -91,7 +99,7 @@ def main():
 
     from plonky2_tpu.examples import factorial, fibonacci, range_check, square_root
 
-    plonk_fixture("factorial", factorial.build_and_prove)
+    plonk_fixture("factorial", factorial.build_and_prove, compressed=True)
     plonk_fixture("fibonacci", fibonacci.build_and_prove)
     plonk_fixture("range_check", range_check.build_and_prove)
     plonk_fixture("square_root", square_root.build_and_prove)
