@@ -109,3 +109,33 @@ class BaseSplitGenerator(SimpleGenerator):
             )
         for i, limb in enumerate(limbs):
             out.set_target(Wire(self.row, BaseSumGate.START_LIMBS + i), limb)
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized base-B decomposition for a whole level (u64 sums fit
+        numpy; the per-row Python divmod loop dominated otherwise)."""
+        import numpy as np
+
+        by_shape: dict[tuple, list] = {}
+        for g in gens:
+            by_shape.setdefault((g.num_limbs, g.base), []).append(g)
+        for (num_limbs, base), gs in by_shape.items():
+            n = len(gs)
+            rows = np.fromiter((g.row for g in gs), np.int64, n)
+            sums = witness.get_reps(witness.wire_reps(rows, BaseSumGate.WIRE_SUM))
+            v = sums.copy()
+            limbs = np.empty((n, num_limbs), np.uint64)
+            b = np.uint64(base)
+            for i in range(num_limbs):
+                limbs[:, i] = v % b
+                v //= b
+            if (v != 0).any():
+                k = int(np.nonzero(v)[0][0])
+                raise ValueError(
+                    f"Integer {int(sums[k])} too large for {num_limbs} limbs "
+                    f"of base {base}"
+                )
+            cols = np.arange(BaseSumGate.START_LIMBS,
+                             BaseSumGate.START_LIMBS + num_limbs, dtype=np.int64)
+            reps = witness.wire_reps(rows[:, None], cols[None, :])
+            witness.set_reps(reps.reshape(-1), limbs.reshape(-1))

@@ -197,3 +197,41 @@ class RandomAccessGenerator(SimpleGenerator):
         )
         for i in range(gate.bits):
             out.set_target(Wire(row, gate.wire_bit(i, copy)), (access_index >> i) & 1)
+
+    @classmethod
+    def run_batch(cls, gens, witness):
+        """Vectorized gather + bit decomposition for a whole level (the
+        scalar path paid a Python Wire/rep lookup per list item)."""
+        import numpy as np
+
+        by_shape: dict[tuple, list] = {}
+        for g in gens:
+            by_shape.setdefault((g.bits, g.num_copies, g.num_extra_constants),
+                                []).append(g)
+        for (bits, num_copies, nec), gs in by_shape.items():
+            gate = RandomAccessGate(bits, num_copies, nec)
+            vec_size = gate.vec_size()
+            n = len(gs)
+            rows = np.fromiter((g.row for g in gs), np.int64, n)
+            copies = np.fromiter((g.copy for g in gs), np.int64, n)
+            idx_cols = np.fromiter(
+                (gate.wire_access_index(g.copy) for g in gs), np.int64, n)
+            aidx = witness.get_reps(
+                witness.wire_reps(rows, idx_cols)).astype(np.int64)
+            assert (aidx < vec_size).all(), (
+                f"Access index larger than the vector size {vec_size}")
+            item_cols = np.fromiter(
+                (gate.wire_list_item(int(a), int(c))
+                 for a, c in zip(aidx, copies)), np.int64, n)
+            claimed = witness.get_reps(witness.wire_reps(rows, item_cols))
+            out_cols = np.empty((n, 1 + bits), np.int64)
+            out_vals = np.empty((n, 1 + bits), np.uint64)
+            out_cols[:, 0] = np.fromiter(
+                (gate.wire_claimed_element(g.copy) for g in gs), np.int64, n)
+            out_vals[:, 0] = claimed
+            for i in range(bits):
+                out_cols[:, 1 + i] = np.fromiter(
+                    (gate.wire_bit(i, g.copy) for g in gs), np.int64, n)
+                out_vals[:, 1 + i] = (aidx >> i) & 1
+            reps = witness.wire_reps(rows[:, None], out_cols)
+            witness.set_reps(reps.reshape(-1), out_vals.reshape(-1))
