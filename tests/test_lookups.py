@@ -250,3 +250,57 @@ def test_lookup_inside_recursion():
     outer_proof = outer.prove(pw)
     assert outer_proof.public_inputs == [123, TIP5_TABLE[123]]
     outer.verify(outer_proof)
+
+
+def test_device_lookup_polys_bit_identical_to_host():
+    """The device associative-scan RE/SLDC columns and device LUT-binding
+    evals match the host row recurrences bit-for-bit on random deltas
+    (round 4; reference plonk/prover.rs:458-605, vanishing_poly.rs:30)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from plonky2_tpu.iop.generator import generate_partial_witness
+    from plonky2_tpu.plonk import prover as pp
+    from plonky2_tpu.plonk.vanishing_poly import NUM_COINS_LOOKUP, eval_lut_poly
+
+    config = CircuitConfig.standard_recursion_config()
+    b = CircuitBuilder(config)
+    lut = b.add_lookup_table_from_table(list(range(16)),
+                                        [(7 * i + 3) % 16 for i in range(16)])
+    x = b.add_virtual_target()
+    out = b.add_lookup_from_index(x, lut)
+    b.register_public_input(out)
+    cur = out
+    for i in range(60):
+        cur = b.mul(cur, b.constant(i % 13 + 1))
+    b.register_public_input(cur)
+    data = b.build()
+    common, pd = data.common, data.prover_only
+
+    pw = PartialWitness()
+    pw.set_target(x, 5)
+    partition = generate_partial_witness(pw, pd, common)
+    pp.set_lookup_wires(pd, common, partition)
+    witness = partition.full_witness()
+
+    r = np.random.default_rng(42)
+    nc = common.config.num_challenges
+    deltas = [int(v) for v in r.integers(1, 1 << 63, size=NUM_COINS_LOOKUP * nc)]
+
+    host = []
+    for c in range(nc):
+        host.extend(pp.compute_lookup_polys(
+            witness, deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP],
+            pd, common))
+    host = np.asarray(host, dtype=np.uint64)
+    dev = np.asarray(pp.compute_lookup_polys_device(
+        witness, jnp.asarray(np.asarray(deltas, dtype=np.uint64)), pd, common))
+    np.testing.assert_array_equal(host, dev)
+
+    host_evals = np.asarray(
+        [[eval_lut_poly(common, l,
+                        deltas[c * NUM_COINS_LOOKUP:(c + 1) * NUM_COINS_LOOKUP])
+          for l in range(len(common.luts))] for c in range(nc)], dtype=np.uint64)
+    dev_evals = np.asarray(pp._lut_evals_device(
+        common, jnp.asarray(np.asarray(deltas, dtype=np.uint64))))
+    np.testing.assert_array_equal(host_evals, dev_evals)
