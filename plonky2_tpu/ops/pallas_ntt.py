@@ -58,6 +58,12 @@ _INTERPRET = False
 # bit-reverses its input rows) so the data movement between phases is a
 # PURE transpose (ROOFLINE lever 2). "0" restores the XLA gathers.
 _FOLD_BREV = os.environ.get("PLONKY2_TPU_PALLAS_FOLDBREV", "1") != "0"
+# Fold the interleave/output epilogue transposes into the DIT out_specs
+# (ROOFLINE lever 3): the DIT phase's column axis is order-free, so the mid
+# transpose pre-permutes columns to the FINAL order and each kernel step
+# block-writes its slab straight into the final layout — no post-DIT
+# transpose at all. "0" restores the XLA epilogue transposes.
+_FOLD_OUT = os.environ.get("PLONKY2_TPU_PALLAS_OUTFOLD", "1") != "0"
 
 
 def pallas_available() -> bool:
@@ -312,7 +318,7 @@ def _brev_rows(v, lg_m: int):
 
 
 def _make_kernel(lg_m: int, s: int, inverse: bool = False,
-                 pre_brev: bool = False):
+                 pre_brev: bool = False, out5: bool = False):
     m = 1 << lg_m
 
     def kernel(wlo_ref, whi_ref, clo_ref, chi_ref, we_ref, ce_ref,
@@ -331,8 +337,13 @@ def _make_kernel(lg_m: int, s: int, inverse: bool = False,
             wexp=we_ref[...] if _POW2 else None,
             cexp=ce_ref[...] if _POW2 else None,
         )
-        olo_ref[...] = vlo.reshape(m, 1, s, _LANE)
-        ohi_ref[...] = vhi.reshape(m, 1, s, _LANE)
+        if out5:
+            # final-layout block write ([rows, m, cols, s, LANE] out array)
+            olo_ref[...] = vlo.reshape(1, m, 1, s, _LANE)
+            ohi_ref[...] = vhi.reshape(1, m, 1, s, _LANE)
+        else:
+            olo_ref[...] = vlo.reshape(m, 1, s, _LANE)
+            ohi_ref[...] = vhi.reshape(m, 1, s, _LANE)
 
     return kernel
 
@@ -401,10 +412,14 @@ _Z = np.int32(0)
 
 
 def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
-                inverse: bool = False, pre_brev: bool = False):
-    """DIT butterfly network on [m, nV, s, 128] planes -> same shape.
-    pre_brev: input rows are in NATURAL order; the kernel bit-reverses them
-    in VMEM first."""
+                inverse: bool = False, pre_brev: bool = False,
+                out_layout: tuple[int, int] | None = None):
+    """DIT butterfly network on [m, nV, s, 128] planes -> same shape, or —
+    with out_layout=(rows, cols_per_row) — straight into the FINAL
+    [rows, m, cols_per_row, s, 128] layout: column chunk i block-writes to
+    (i // cpr, :, i % cpr), so the caller's post-DIT transpose disappears
+    (ROOFLINE lever 3). pre_brev: input rows are in NATURAL order; the
+    kernel bit-reverses them in VMEM first."""
     import jax.experimental.pallas as pl
 
     m = 1 << lg_m
@@ -418,12 +433,24 @@ def _dit_planes(lo, hi, lg_m: int, s: int, interpret: bool,
     cspec = pl.BlockSpec((clo.shape[0], _LANE), lambda i: (_Z, _Z))
     wespec = pl.BlockSpec((we.shape[0], _LANE), lambda i: (_Z, _Z))
     cespec = pl.BlockSpec((ce.shape[0], _LANE), lambda i: (_Z, _Z))
+    if out_layout is None:
+        out_specs = [vspec, vspec]
+        out_shape = [jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2
+    else:
+        rows, cpr = out_layout
+        assert rows * cpr == nV, (rows, cpr, nV)
+        rr = np.int32(cpr)
+        ospec = pl.BlockSpec((1, m, 1, s, _LANE),
+                             lambda i: (_i32(i) // rr, _Z, _i32(i) % rr, _Z, _Z))
+        out_specs = [ospec, ospec]
+        out_shape = [jax.ShapeDtypeStruct((rows, m, cpr, s, _LANE),
+                                          jnp.uint32)] * 2
     return pl.pallas_call(
-        _make_kernel(lg_m, s, inverse, pre_brev),
+        _make_kernel(lg_m, s, inverse, pre_brev, out5=out_layout is not None),
         grid=(nV,),
         in_specs=[wspec, wspec, cspec, cspec, wespec, cespec, vspec, vspec],
-        out_specs=[vspec, vspec],
-        out_shape=[jax.ShapeDtypeStruct((m, nV, s, _LANE), jnp.uint32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **_compile_kwargs(interpret),
     )(jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(clo), jnp.asarray(chi),
@@ -577,7 +604,34 @@ def fft_four_step_pallas(coeffs: jax.Array, interpret: bool = False,
     # un-reverses its output, DIT reverses its input), so this is a PURE
     # transpose to [b, B, a]; otherwise two row-granular gathers ride along.
     s2 = _sublanes_for(lg_b)
-    nV2 = (B * a) // (s2 * _LANE)
+    blk2 = s2 * _LANE
+    nV2 = (B * a) // blk2
+
+    # ROOFLINE lever 3: the DIT column axis is order-free, so when the final
+    # per-output-row column count divides into whole lane blocks, the mid
+    # transpose pre-permutes columns into the FINAL order (interleaved
+    # (k1, j) for the coset-LDE, plain (B, k1) otherwise) and the DIT
+    # kernels block-write the final layout — no post-DIT transpose.
+    R_il = interleave or 1
+    P = B // R_il
+    fold_out = (_FOLD_OUT and _FOLD_BREV
+                and (a * R_il) % blk2 == 0 and (interleave or a >= blk2))
+
+    if fold_out:
+        cpr = (a * R_il) // blk2
+
+        def mid(x):
+            x = x.reshape(P, R_il, a, b)
+            x = jnp.transpose(x, (3, 0, 2, 1))  # [b, P, a, R]
+            return x.reshape(b, nV2, s2, _LANE)
+
+        lo, hi = _dit_planes(mid(lo), mid(hi), lg_b, s2, interpret, inverse,
+                             pre_brev=True, out_layout=(P, cpr))
+        out = join_planes(lo, hi).reshape(P, b * a * R_il)
+        if interleave:
+            out_batch = batch if scale is not None else batch[:-1]
+            return out.reshape(out_batch + (n * R_il,))
+        return out.reshape(batch + (n,))
 
     if _FOLD_BREV:
         def mid(x):
