@@ -22,6 +22,18 @@ import numpy as np
 import pytest
 
 import plonky2_tpu.fri.prover as fp
+
+
+@pytest.fixture(autouse=True)
+def _clear_compiled():
+    """This module proves 9+ fresh circuits (fused/host/mesh/zk variants);
+    per-TEST executable-cache clearing keeps the XLA:CPU LLVM-JIT state
+    under the state-dependent SIGABRT threshold (see tests/conftest.py —
+    the module-scope clear no longer suffices at this module's size)."""
+    yield
+    import jax
+
+    jax.clear_caches()
 import plonky2_tpu.plonk.prover as pp
 from plonky2_tpu.iop.witness import PartialWitness
 from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
