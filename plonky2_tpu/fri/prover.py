@@ -174,9 +174,9 @@ def _fused_commit_fn(lg_n, arities, rate_bits, shifts, cap_height, k_pending):
             [jnp.ravel(c) for c in caps] + [coeffs[0], coeffs[1], dc.state])
         return step_arrays, packed
 
-    import jax
-
-    return jax.jit(f)
+    pj = persistent_jit(f, name="fri.prover.fused_commit")
+    key = repr((lg_n, arities, rate_bits, shifts, cap_height, k_pending))
+    return lambda *a: pj(*a, _pj_key=key)
 
 
 def _grind_candidates(intermediate, witness_pos: int, start, pow_bits: int):
@@ -264,7 +264,10 @@ def _fused_commit_pow_fn(lg_n, arities, rate_bits, shifts, cap_height,
                witness[None], pow_response[None], idxs, dc.state])
         return step_arrays, packed, idxs
 
-    return jax.jit(f)
+    pj = persistent_jit(f, name="fri.prover.fused_commit_pow")
+    key = repr((lg_n, arities, rate_bits, shifts, cap_height, k_pending,
+                pow_bits, num_queries))
+    return lambda *a: pj(*a, _pj_key=key)
 
 
 def _sim_remaining_outputs(k_pending, arities, cap_rows, n_final, num_queries):
@@ -335,7 +338,9 @@ def _gather_all_fn(descs):
                         if sb else jnp.zeros((0,), jnp.uint64))
         return jnp.concatenate(outs)
 
-    return jax.jit(f)
+    pj = persistent_jit(f, name="fri.prover.gather_all")
+    key = repr(descs)
+    return lambda *a: pj(*a, _pj_key=key)
 
 
 def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,

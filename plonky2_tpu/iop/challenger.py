@@ -192,4 +192,8 @@ def cap_boundary_fn(k_pending: int, cap_height: int, natural: bool,
         out = (jnp.stack(draws) if draws else jnp.zeros((0,), jnp.uint64))
         return dc.state, pend, out, rows
 
-    return jax.jit(f)
+    from plonky2_tpu.util.export_cache import persistent_jit
+
+    pj = persistent_jit(f, name="iop.challenger.cap_boundary")
+    key = repr((k_pending, cap_height, natural, n_draws))
+    return lambda *a: pj(*a, _pj_key=key)

@@ -1010,7 +1010,9 @@ def _openings_final_fn(n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits,
         zz = jnp.stack([zdraw[0], zdraw[1], gz[0], gz[1]])
         return packed, zz, final[0], final[1], dc.state
 
-    return jax.jit(f)
+    pj = persistent_jit(f, name="plonk.prover.openings_final")
+    key = repr((n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits, n_zpp))
+    return lambda *a: pj(*a, _pj_key=key)
 
 
 def _prove_fused(prover_data, common, challenger, wires_commitment, witness,

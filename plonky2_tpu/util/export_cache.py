@@ -87,7 +87,20 @@ def _single_device(x) -> bool:
 
 
 class PersistentJit:
-    """jax.jit with a disk-persistent traced+lowered artifact per signature."""
+    """jax.jit with disk-persistent compiled artifacts per signature.
+
+    Two tiers, tried in order:
+      1. serialized PjRt EXECUTABLE (<key>.jaxexec): a fresh process
+         deserialize_and_loads the compiled binary in ~0.5 s — no tracing,
+         no MLIR lowering, no (re)compile. This is what makes cold driver
+         processes fast: the Mosaic-heavy prover programs cost 60-500 s of
+         tracing+lowering each without it, and their jax.export round trip
+         crashes the relay's chipless AOT compiler (VectorLayout u64
+         check), so tier 2 can never serve them.
+      2. jax.export StableHLO artifact (<key>.jaxexp): skips tracing and
+         lowering; the XLA persistent cache then skips the compile. Still
+         used on backends where executable serialization is unavailable.
+    Any failure falls back to plain jit."""
 
     def __init__(self, fn, static_argnums=(), name: str | None = None):
         self._fn = fn
@@ -99,6 +112,7 @@ class PersistentJit:
         self._bound_jits: dict = {}
         self._exports: dict = {}
         self._call_jits: dict = {}
+        self._execs: dict = {}
         self._bad_keys: set = set()
         functools.update_wrapper(self, fn)
 
@@ -170,6 +184,58 @@ class PersistentJit:
             self._exports[key] = exp
         return exp
 
+    # -- tier 1: serialized compiled executables -----------------------------
+    def _exec_path(self, key: str) -> str:
+        d = cache_dir()
+        return os.path.join(d, key + ".jaxexec") if d else ""
+
+    def _get_exec(self, key, statics, dyn):
+        """Load (or AOT-compile + persist) the compiled executable for this
+        signature. Returns a callable over the dynamic args, or None when
+        the backend does not support executable serialization."""
+        import jax
+
+        fn = self._execs.get(key)
+        if fn is not None:
+            return fn
+        if jax.default_backend() == "cpu":
+            # CPU AOT binaries SIGILL on feature-mismatched hosts (round-2
+            # finding) and CPU compiles are local anyway — tier 2 suffices.
+            return None
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        path = self._exec_path(key)
+        if path and os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    blob, in_tree, out_tree = pickle.load(f)
+                fn = se.deserialize_and_load(blob, in_tree, out_tree)
+                with _LOCK:
+                    self._execs[key] = fn
+                return fn
+            except Exception:
+                try:
+                    os.remove(path)  # stale (jaxlib/libtpu change) — rebuild
+                except OSError:
+                    pass
+        jfn = (self._bound_jit(statics) if self._static else self._plain())
+        compiled = jfn.lower(*dyn).compile()
+        try:
+            blob, in_tree, out_tree = se.serialize(compiled)
+            if path:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump((blob, in_tree, out_tree), f)
+                os.replace(tmp, path)
+        except Exception:
+            pass  # unserializable program: still use the compiled object
+        with _LOCK:
+            self._execs[key] = compiled
+        return compiled
+
     def _bad_path(self, key: str) -> str:
         d = cache_dir()
         return os.path.join(d, key + ".bad") if d else ""
@@ -216,8 +282,14 @@ class PersistentJit:
             leaves = jax.tree_util.tree_leaves(dyn)
             if not all(_single_device(a) for a in leaves):
                 return self._plain()(*args)
-            jfn = (self._bound_jit(statics) if self._static else self._plain())
             key = self._key(statics, leaves, _pj_key)
+            try:
+                fn = self._get_exec(key, statics, dyn)
+            except Exception:
+                fn = None
+            if fn is not None:
+                return fn(*dyn)
+            jfn = (self._bound_jit(statics) if self._static else self._plain())
             if self._key_is_bad(key):
                 return self._plain()(*args)
             exp = self._get_export(key, jfn, dyn)
