@@ -162,26 +162,111 @@ def ntt_metrics():
             "ntt_lg_n": lg_n, "ntt_vs_xla_path": vs_xla}
 
 
+BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_cache")
+
+
+def _load_cached_middle():
+    """Warm-start artifacts from tools/make_bench_cache.py: the inner
+    2^SIZE proof + verifier data and the restored middle CircuitData, with
+    the proof/verifier-data target structures reconstructed on a fresh
+    builder (deterministic: they are the first allocations recursive_proof
+    makes). Returns (data, pt, vdt, inner_proof, inner_vd) or None."""
+    pf = os.path.join(BENCH_CACHE, f"inner{SIZE}.proof.bin")
+    vf = os.path.join(BENCH_CACHE, f"inner{SIZE}.verifier.bin")
+    cf = os.path.join(BENCH_CACHE, f"middle{SIZE}.circuit.bin")
+    if not all(os.path.exists(p) for p in (pf, vf, cf)):
+        return None
+    try:
+        from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+        from plonky2_tpu.plonk.circuit_serialization import verifier_data_from_bytes
+        from plonky2_tpu.plonk.config import CircuitConfig
+        from plonky2_tpu.plonk.prover_serialization import circuit_data_from_bytes
+        from plonky2_tpu.plonk.serialization import proof_from_bytes
+        from plonky2_tpu.recursion.recursive_verifier import (
+            add_virtual_proof_with_pis,
+            add_virtual_verifier_data,
+        )
+
+        with open(vf, "rb") as f:
+            inner_vd, inner_common = verifier_data_from_bytes(f.read())
+        with open(pf, "rb") as f:
+            inner_proof = proof_from_bytes(f.read(), inner_common)
+        with open(cf, "rb") as f:
+            data = circuit_data_from_bytes(f.read())
+        b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+        pt = add_virtual_proof_with_pis(b, inner_common)
+        vdt = add_virtual_verifier_data(
+            b, inner_common.config.fri_config.cap_height)
+        return data, pt, vdt, inner_proof, inner_vd
+    except Exception:
+        _STATE["extra"]["bench_cache_error"] = traceback.format_exc(limit=3)
+        return None
+
+
+def _on_warm(best, r):
+    _STATE["warm"] = best
+    _STATE["extra"]["warm_recursive_prove_s"] = round(best, 3)
+    _STATE["extra"]["warm_repeats_done"] = r + 1
+    _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})"
+          f" [provisional, repeat {r}]",
+          round(1.0 / best, 3), "proofs/s/chip", 0.0,
+          {"warm_recursive_prove_s": round(best, 3)})
+
+
 def recursion_metrics():
     """Chain per the reference protocol, but ordered so the headline metric
     (warm middle-layer re-prove) is measured and emitted BEFORE the outer
     layer builds: inner -> middle -> warm repeats (provisional emit after
-    each improvement) -> outer."""
-    from plonky2_tpu.examples.bench_recursion import run_chain
+    each improvement) -> outer. When the bench_cache warm-start artifacts
+    exist, the cold inner prove + middle build (the ~25 min that starved
+    three driver rounds) are skipped entirely."""
+    cached = _load_cached_middle()
+    if cached is not None:
+        from plonky2_tpu.examples.bench_recursion import _phase_dict
+        from plonky2_tpu.iop.witness import PartialWitness
+        from plonky2_tpu.recursion.recursive_verifier import (
+            set_proof_with_pis_target,
+            set_verifier_data_target,
+        )
+        from plonky2_tpu.util import TimingTree
 
-    def on_warm(best, r):
-        _STATE["warm"] = best
-        _STATE["extra"]["warm_recursive_prove_s"] = round(best, 3)
-        _STATE["extra"]["warm_repeats_done"] = r + 1
-        _emit(f"bench_recursion steady-state recursive prove (inner 2^{SIZE})"
-              f" [provisional, repeat {r}]",
-              round(1.0 / best, 3), "proofs/s/chip", 0.0,
-              {"warm_recursive_prove_s": round(best, 3)})
+        data, pt, vdt, inner_proof, inner_vd = cached
+        pw = PartialWitness()
+        set_proof_with_pis_target(pw, pt, inner_proof)
+        set_verifier_data_target(pw, vdt, inner_vd)
+        timings = {"from_cache": True}
+        t_start = time.time()
+        best = float("inf")
+        proof = None
+        for r in range(REPEATS + 1):  # +1: repeat 0 pays in-process compiles
+            if r > 1 and _left() < 60:
+                break
+            phase_timing = TimingTree("warm prove") if r else None
+            t0 = time.time()
+            proof = data.prove(pw, timing=phase_timing)
+            dt = time.time() - t0
+            if r == 0:
+                timings["first_prove_s"] = round(dt, 1)
+                continue
+            if dt < best:
+                best = dt
+                _on_warm(best, r - 1)
+            if phase_timing is not None:
+                timings["phases"] = _phase_dict(phase_timing)
+        data.verify(proof)
+        if best != float("inf"):
+            timings["warm_prove"] = best
+
+        timings["chain_total"] = round(time.time() - t_start, 1)
+        return timings
+
+    from plonky2_tpu.examples.bench_recursion import run_chain
 
     t0 = time.time()
     _, timings = run_chain(
         SIZE, verbose=False, repeats=REPEATS, warm_before_outer=True,
-        on_warm=on_warm, time_left=_left)
+        on_warm=_on_warm, time_left=_left)
     timings["chain_total"] = round(time.time() - t0, 1)
     return timings
 
