@@ -46,14 +46,18 @@ class PartitionWitness:
     levelized batch generator engine (iop/generator.py) can gather/scatter
     whole generator batches without per-target Python overhead."""
 
-    def __init__(self, representative_map: list[int], num_wires: int, degree: int):
+    def __init__(self, representative_map, num_wires: int, degree: int):
         self.representative_map = representative_map
         self.num_wires = num_wires
         self.degree = degree
-        n = max(representative_map) + 1 if len(representative_map) else 0
+        if isinstance(representative_map, np.ndarray):
+            self._rep_np: np.ndarray | None = representative_map
+            n = int(representative_map.max()) + 1 if representative_map.size else 0
+        else:
+            self._rep_np = None
+            n = max(representative_map) + 1 if len(representative_map) else 0
         self.values = np.zeros(n, dtype=np.uint64)
         self.known = np.zeros(n, dtype=bool)
-        self._rep_np: np.ndarray | None = None
 
     def rep_index(self, target: Target) -> int:
         return self.representative_map[target_index(target, self.num_wires, self.degree)]

@@ -43,9 +43,25 @@ def cache_dir() -> str:
     return os.path.join(base, "exports")
 
 
+# Host-only subtrees that can never change a traced device program: the C++
+# runtime, the witness engine, host utilities (this cache, rng, TimingTree),
+# and CLI surfaces. Editing these must NOT invalidate compiled TPU binaries —
+# cold compiles cost minutes per program over the remote relay. Everything
+# else (field/ops/hash/fri/plonk/gates/gadgets/starky/recursion/parallel and
+# iop/challenger.py's DeviceChallenger) is traced into device programs and
+# stays in the salt. A stale-salt mistake fails LOUD, not silent: a stale
+# executable computes an old transcript and verification rejects the proof.
+_HOST_ONLY = (
+    "native/", "examples/", "util/export_cache.py", "util/rng.py",
+    "iop/generator.py", "iop/witness.py", "iop/witness_plan.py",
+    "iop/target.py",
+)
+
+
 @functools.lru_cache(maxsize=1)
 def _source_salt() -> str:
-    """Hash of the package sources: any code change invalidates the cache."""
+    """Hash of the device-relevant package sources: any change to code that
+    can reach a traced program invalidates the cache wholesale."""
     import plonky2_tpu
 
     root = os.path.dirname(os.path.abspath(plonky2_tpu.__file__))
@@ -53,11 +69,15 @@ def _source_salt() -> str:
     for dirpath, dirnames, filenames in sorted(os.walk(root)):
         dirnames.sort()
         for fn in sorted(filenames):
-            if fn.endswith(".py") or fn.endswith(".cc"):
-                p = os.path.join(dirpath, fn)
-                h.update(p.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            if any(rel.startswith(pfx) for pfx in _HOST_ONLY):
+                continue
+            h.update(rel.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
     return h.hexdigest()[:16]
 
 
