@@ -146,6 +146,28 @@ def inverse(x: jax.Array) -> jax.Array:
     return result
 
 
+def inverse_rows(x: jax.Array) -> jax.Array:
+    """Batched inverse of [R, n] via the Montgomery trick along axis 0:
+    exclusive prefix/suffix product scans + ONE Fermat ladder on [n]
+    (reference field/src/types.rs:133-223 batch_multiplicative_inverse).
+
+    The plain `inverse` runs the 64-step pow ladder over the WHOLE matrix
+    (~128 full-matrix muls of HBM traffic); this form pays 2 log-depth
+    scans + a ladder on one row — ~20x less traffic for R=80 (the round-2
+    permutation-argument shape). inverse_rows(0) == 0, matching `inverse`.
+    """
+    is_zero = x == jnp.uint64(0)
+    xs = jnp.where(is_zero, jnp.uint64(1), x)
+    prefix = jax.lax.associative_scan(mul, xs, axis=0)       # inclusive
+    suffix = jax.lax.associative_scan(mul, xs, axis=0, reverse=True)
+    total_inv = inverse(prefix[-1])                          # [n] ladder
+    ones = jnp.ones_like(xs[:1])
+    pre = jnp.concatenate([ones, prefix[:-1]])               # exclusive
+    suf = jnp.concatenate([suffix[1:], ones])
+    inv = mul(mul(pre, suf), total_inv[None, :])
+    return jnp.where(is_zero, jnp.uint64(0), inv)
+
+
 def exp_power_of_2(x: jax.Array, k: int) -> jax.Array:
     for _ in range(k):
         x = square(x)

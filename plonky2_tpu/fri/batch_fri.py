@@ -8,7 +8,10 @@ the degrees align. Powers multi-degree STARK batching.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from plonky2_tpu.field import goldilocks as g
@@ -21,6 +24,7 @@ from plonky2_tpu.fri.proof import (
     FriQueryStep,
 )
 from plonky2_tpu.fri.prover import _fold_step_leaves, fri_proof_of_work
+from plonky2_tpu.util.export_cache import persistent_jit
 from plonky2_tpu.fri.verifier import (
     PrecomputedReducedOpenings,
     compute_evaluation,
@@ -65,6 +69,222 @@ class BatchFriOracle:
         return BatchFriOracle(coeff_groups, rate_bits, cap_height)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_batch_commit_fn(lens, arities, rate_bits, shifts, cap_height,
+                           k_pending, pow_bits, num_queries):
+    """ONE jit for the entire batch-FRI transcript after the composition
+    polynomials: per-group initial LDEs, every fold step (leaves -> Merkle
+    layers -> cap observe -> beta -> fold -> re-FFT, absorbing the next
+    degree group when the codeword reaches its size — reference
+    batch_fri/prover.rs:25-148), final-poly observation, the PoW grind, the
+    PoW response draw, and the query-index draws, with the Fiat-Shamir
+    challenger device-resident. The host path paid one cap fetch + one beta
+    round trip per fold step; here the commit transcript is one dispatch
+    and one packed fetch (the query gathers follow as batched opens).
+
+    lens: per-group coefficient lengths (strictly decreasing);
+    shifts: per-step coset shift after folding (g^(prod arities so far))."""
+    from plonky2_tpu.fri.prover import _GRIND_CHUNK, _grind_candidates
+    from plonky2_tpu.hash.merkle import merkle_layers_dev
+    from plonky2_tpu.iop.challenger import DeviceChallenger
+
+    n_lde0 = lens[0] << rate_bits
+    final_len = n_lde0 >> sum(arities)
+    keep = final_len >> rate_bits
+
+    # static absorption schedule (mirrors the host loop's size comparison)
+    absorb = []
+    cur = n_lde0
+    gi = 1
+    for ab in arities:
+        cur >>= ab
+        hit = gi < len(lens) and cur == (lens[gi] << rate_bits)
+        absorb.append(hit)
+        if hit:
+            gi += 1
+    assert gi == len(lens), "arity schedule never reaches some degree group"
+
+    def f(sponge, pending, *group_coeffs):
+        dc = DeviceChallenger(sponge, [pending[i] for i in range(k_pending)])
+        shift0 = fs.MULTIPLICATIVE_GROUP_GENERATOR
+        vals_groups = [
+            (ntt.lde_fft(group_coeffs[2 * k], rate_bits, shift=shift0),
+             ntt.lde_fft(group_coeffs[2 * k + 1], rate_bits, shift=shift0))
+            for k in range(len(lens))
+        ]
+        values = vals_groups[0]
+        pad = n_lde0 - lens[0]
+        z = jnp.zeros((pad,), dtype=jnp.uint64)
+        coeffs = (jnp.concatenate([group_coeffs[0], z]),
+                  jnp.concatenate([group_coeffs[1], z]))
+
+        step_arrays = []
+        caps = []
+        lg_len = n_lde0.bit_length() - 1
+        g_index = 1
+        for i, ab in enumerate(arities):
+            from plonky2_tpu.fri.prover import _fold_step_leaves_impl
+
+            leaves = _fold_step_leaves_impl(values, ab, lg_len)
+            layers = merkle_layers_dev(leaves, cap_height)
+            caps.append(layers[-1])
+            dc.observe_cap_rows(layers[-1])
+            b0 = dc.get_challenge()
+            b1 = dc.get_challenge()
+            arity = 1 << ab
+            c0, c1 = coeffs
+            m = c0.shape[0] // arity
+            c0r, c1r = c0.reshape(m, arity), c1.reshape(m, arity)
+            acc = (c0r[:, arity - 1], c1r[:, arity - 1])
+            for j in range(arity - 2, -1, -1):
+                acc = g.ext2_add(g.ext2_mul(acc, (b0, b1)),
+                                 (c0r[:, j], c1r[:, j]))
+            coeffs = acc
+            values = (ntt.coset_fft(coeffs[0], shift=shifts[i]),
+                      ntt.coset_fft(coeffs[1], shift=shifts[i]))
+            if absorb[i]:
+                nxt = vals_groups[g_index]
+                g_index += 1
+                values = g.ext2_add(g.ext2_mul(values, (b0, b1)), nxt)
+                coeffs = (ntt.coset_ifft(values[0], shift=shifts[i]),
+                          ntt.coset_ifft(values[1], shift=shifts[i]))
+            lg_len -= ab
+            step_arrays.append((leaves, tuple(layers)))
+
+        for i in range(keep):
+            dc.observe_element(coeffs[0][i])
+            dc.observe_element(coeffs[1][i])
+
+        # PoW grind (reference fri/prover.rs:152-202; deterministic lowest
+        # valid witness, identical to the host chunk scan)
+        k = len(dc.inputs)
+        inter = (jnp.concatenate([jnp.stack(dc.inputs), dc.state[k:]])
+                 if dc.inputs else dc.state)
+
+        def cond(carry):
+            return carry[1] == 0
+
+        def body(carry):
+            start, _, _ = carry
+            found, wit = _grind_candidates(inter, k, start, pow_bits)
+            return (start + jnp.uint64(_GRIND_CHUNK), found, wit)
+
+        _, _, witness = jax.lax.while_loop(
+            cond, body, (jnp.uint64(0), jnp.uint64(0), jnp.uint64(0)))
+        dc.observe_element(witness)
+        pow_response = dc.get_challenge()
+
+        idxs = jnp.stack([dc.get_challenge() for _ in range(num_queries)])
+        idxs = idxs & jnp.uint64(n_lde0 - 1)
+
+        packed = jnp.concatenate(
+            [jnp.ravel(c) for c in caps]
+            + [coeffs[0][:keep], coeffs[1][:keep],
+               witness[None], pow_response[None], idxs, dc.state])
+        return step_arrays, packed
+
+    pj = persistent_jit(f, name="fri.batch_fri.fused_commit_pow")
+    key = repr((lens, arities, rate_bits, shifts, cap_height, k_pending,
+                pow_bits, num_queries))
+    return (lambda *a: pj(*a, _pj_key=key)), keep
+
+
+def _batch_fri_proof_fused(batch_trees, composition_coeffs, challenger,
+                           fri_params) -> FriProof:
+    """Fused-transcript batch FRI: commit folds + group absorption +
+    final-poly observation + PoW + query draws in one device program;
+    byte-identical proofs to the host loop (asserted by
+    tests/test_batch_fri.py::test_batch_fri_fused_byte_identity)."""
+    from plonky2_tpu.fri.prover import _sim_remaining_outputs
+    from plonky2_tpu.hash.merkle import merkle_tree_from_device
+
+    rate_bits = fri_params.config.rate_bits
+    cap_height = fri_params.config.cap_height
+    num_queries = fri_params.config.num_query_rounds
+    arities = tuple(fri_params.reduction_arity_bits)
+    lens = tuple(int(c0.shape[0]) for c0, _ in composition_coeffs)
+    n = lens[0] << rate_bits
+
+    shift = fs.MULTIPLICATIVE_GROUP_GENERATOR
+    shifts = []
+    for ab in arities:
+        shift = fs.exp(shift, 1 << ab)
+        shifts.append(shift)
+
+    pending = challenger.input_buffer
+    k_pending = len(pending)
+    fn, keep = _fused_batch_commit_fn(
+        lens, arities, rate_bits, tuple(shifts), cap_height, k_pending,
+        fri_params.config.proof_of_work_bits, num_queries)
+    sponge = jnp.asarray(np.asarray(challenger.sponge_state, dtype=np.uint64))
+    pend = jnp.asarray(np.asarray(pending, dtype=np.uint64))
+    flat_args = [a for c0, c1 in composition_coeffs for a in (c0, c1)]
+    step_arrays, packed = fn(sponge, pend, *flat_args)
+
+    flat = np.asarray(packed)  # ONE fetch: caps + final + pow + idx + sponge
+    rows = 1 << cap_height
+    pos = 0
+    trees = []
+    for leaves, layers in step_arrays:
+        cap_host = [[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                    for r in range(rows)]
+        pos += rows * 4
+        trees.append(merkle_tree_from_device(leaves, layers, cap_height,
+                                             cap_host))
+    final_poly = [(int(a), int(b_)) for a, b_ in
+                  zip(flat[pos:pos + keep], flat[pos + keep:pos + 2 * keep])]
+    pos += 2 * keep
+    pow_witness = int(flat[pos])
+    pow_response = int(flat[pos + 1])
+    pos += 2
+    assert pow_response < (1 << (64 - fri_params.config.proof_of_work_bits))
+    indices = [int(v) for v in flat[pos:pos + num_queries]]
+    pos += num_queries
+    sponge_out = flat[pos:pos + 12]
+
+    # sync the host challenger to the device transcript (same duplex
+    # schedule simulation as the single-degree fused path)
+    m = _sim_remaining_outputs(k_pending, arities, rows, keep, num_queries)
+    challenger.sponge_state = [int(x) for x in sponge_out]
+    challenger.input_buffer = []
+    challenger.output_buffer = [int(x) for x in sponge_out[:m]]
+
+    rounds = _batch_query_rounds(batch_trees, trees, indices, fri_params)
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap for t in trees],
+        query_round_proofs=rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
+
+
+def _batch_query_rounds(batch_trees, trees, indices, fri_params):
+    """Query-round extraction shared by the host and fused paths: one
+    batched gather pass per tree for ALL query rounds."""
+    initial_opens = [t.open_batch_many(indices) for t in batch_trees]
+    step_opens = []
+    xs = indices
+    for i, tree in enumerate(trees):
+        xs = [x >> fri_params.reduction_arity_bits[i] for x in xs]
+        open_many = getattr(tree, "open_many", None)
+        step_opens.append(open_many(xs) if open_many is not None
+                          else [(tree.leaf(x), tree.prove(x)) for x in xs])
+    rounds = []
+    for qi in range(len(indices)):
+        initial = FriInitialTreeProof(
+            evals_proofs=[opens[qi] for opens in initial_opens])
+        steps = []
+        for i in range(len(trees)):
+            flat, proof = step_opens[i][qi]
+            steps.append(FriQueryStep(
+                evals=[(flat[2 * k], flat[2 * k + 1])
+                       for k in range(len(flat) // 2)],
+                merkle_proof=proof,
+            ))
+        rounds.append(FriQueryRound(initial_trees_proof=initial, steps=steps))
+    return rounds
+
+
 def batch_fri_proof(batch_trees: list, composition_coeffs: list, challenger,
                     fri_params, hasher=None) -> FriProof:
     """composition_coeffs: per degree group, ext coeff pair (c0, c1) of the
@@ -72,11 +292,23 @@ def batch_fri_proof(batch_trees: list, composition_coeffs: list, challenger,
     2^degree_bits_k * 2^rate_bits after LDE below
     (reference batch_fri/prover.rs:25-148)."""
     from plonky2_tpu.fri import prover as fri_prover
+    from plonky2_tpu.hash.hashers import PoseidonHasher
 
-    # path-matrix introspection (tests/test_fri_path_matrix.py): batch FRI
-    # runs the host-transcript commit loop (the fold chain absorbs a new
-    # degree group between steps, a structure the fused single-degree
-    # program does not cover)
+    algebraic = (hasher is None or hasher is PoseidonHasher
+                 or getattr(hasher, "algebraic", False))
+    if (not fri_prover._FORCE_HOST and algebraic
+            and challenger.hasher is PoseidonHasher
+            and tuple(fri_params.reduction_arity_bits)):
+        # path-matrix introspection (tests/test_fri_path_matrix.py)
+        fri_prover._LAST_PATH = "batch_fused"
+        coeffs_dev = [
+            (jnp.asarray(np.asarray(c0, dtype=np.uint64)),
+             jnp.asarray(np.asarray(c1, dtype=np.uint64)))
+            for c0, c1 in composition_coeffs
+        ]
+        return _batch_fri_proof_fused(batch_trees, coeffs_dev, challenger,
+                                      fri_params)
+
     fri_prover._LAST_PATH = "batch_host"
     rate_bits = fri_params.config.rate_bits
     cap_height = fri_params.config.cap_height
@@ -145,26 +377,7 @@ def batch_fri_proof(batch_trees: list, composition_coeffs: list, challenger,
     indices = [c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)]
     # Batched extraction: one gather pass per tree for ALL query rounds
     # (mirrors fri/prover.py; per-index walks cost a tunnel RTT per access).
-    initial_opens = [t.open_batch_many(indices) for t in batch_trees]
-    step_opens = []
-    xs = indices
-    for i, tree in enumerate(trees):
-        xs = [x >> fri_params.reduction_arity_bits[i] for x in xs]
-        open_many = getattr(tree, "open_many", None)
-        step_opens.append(open_many(xs) if open_many is not None
-                          else [(tree.leaf(x), tree.prove(x)) for x in xs])
-    rounds = []
-    for qi in range(len(indices)):
-        initial = FriInitialTreeProof(
-            evals_proofs=[opens[qi] for opens in initial_opens])
-        steps = []
-        for i in range(len(trees)):
-            flat, proof = step_opens[i][qi]
-            steps.append(FriQueryStep(
-                evals=[(flat[2 * k], flat[2 * k + 1]) for k in range(len(flat) // 2)],
-                merkle_proof=proof,
-            ))
-        rounds.append(FriQueryRound(initial_trees_proof=initial, steps=steps))
+    rounds = _batch_query_rounds(batch_trees, trees, indices, fri_params)
 
     return FriProof(
         commit_phase_merkle_caps=[t.cap for t in trees],

@@ -344,11 +344,12 @@ def _gather_all_fn(descs):
 
 
 def _fri_proof_fused(initial_trees, coeffs, challenger, fri_params,
-                     device_state=None, extra_payload=None, timing=None):
+                     device_state=None, extra_payload=None, timing=None,
+                     defer=False):
     global _LAST_PATH
     _LAST_PATH = "fused"
     return _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
-                                 device_state, extra_payload, timing)
+                                 device_state, extra_payload, timing, defer)
 
 
 class _NullScope:
@@ -363,7 +364,8 @@ class _NullScope:
 
 
 def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
-                          device_state=None, extra_payload=None, timing=None):
+                          device_state=None, extra_payload=None, timing=None,
+                          defer=False):
     """Returns (FriProof, extra_host) where extra_host is the fetched
     `extra_payload` prefix (None when no payload was given).
 
@@ -372,7 +374,13 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
     plonk/prover.py) instead of loading the host challenger's state;
     `challenger` may then be None and no host state is synced back.
     extra_payload: flat u64 device array prepended to the single fetch —
-    the prove-level payload (caps, openings, zeta) rides the FRI transfer."""
+    the prove-level payload (caps, openings, zeta) rides the FRI transfer.
+
+    defer=True (pipelined throughput proving, plonk/prover.py prove_many):
+    returns a zero-argument `finish()` closure instead of fetching — all
+    device work is dispatched, and the single device->host transfer + host
+    parse run when finish() is called, so the device can start the NEXT
+    proof's chain while this proof's payload is still in flight."""
     from plonky2_tpu.hash.merkle import (
         MerkleTree,
         MerkleProof,
@@ -456,8 +464,6 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
             out_dev = fn2(
                 idx_dev, packed, extra,
                 *[a for main, layers in tree_arrays for a in (main,) + layers])
-        with timing.scope("block on device + fetch"):
-            flat = np.asarray(out_dev)
     else:
         def idx_for(arr):
             sh = getattr(arr, "sharding", None)
@@ -474,9 +480,32 @@ def _fri_proof_fused_impl(initial_trees, coeffs, challenger, fri_params,
                 lv, sb = _gather_openings_rows_ref(
                     main, layers, idx_for(main), desc[1])
             gathers.append((replicate(lv), replicate(sb)))
-        flat = np.asarray(_pack_flat(
+        out_dev = _pack_flat(
             tuple([replicate(extra), replicate(packed)]
-                  + [x for g_ in gathers for x in g_])))
+                  + [x for g_ in gathers for x in g_]))
+
+    if defer:
+        return lambda: _fri_fused_finish(
+            out_dev, initial_trees, challenger, fri_params, device_state,
+            extra_payload, timing, n_extra, arities, rows, n_final,
+            num_queries, k_pending, shapes)
+    return _fri_fused_finish(
+        out_dev, initial_trees, challenger, fri_params, device_state,
+        extra_payload, timing, n_extra, arities, rows, n_final, num_queries,
+        k_pending, shapes)
+
+
+def _fri_fused_finish(out_dev, initial_trees, challenger, fri_params,
+                      device_state, extra_payload, timing, n_extra, arities,
+                      rows, n_final, num_queries, k_pending, shapes):
+    """The single device->host transfer + host parse of the fused FRI chain
+    (split out of _fri_proof_fused_impl so prove_many can defer it)."""
+    from plonky2_tpu.hash.merkle import MerkleProof
+
+    timing = timing or _NullScope()
+    config = fri_params.config
+    with timing.scope("block on device + fetch"):
+        flat = np.asarray(out_dev)
 
     # -- parse the single fetch ---------------------------------------------
     with timing.scope("parse payload"):

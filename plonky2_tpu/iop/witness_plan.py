@@ -47,6 +47,8 @@ _NONZERO = 16
 _EXP = 17
 _CONSTANT = 18
 _RANDOM = 19
+_LOOKUP = 20
+_CONSTANT_PAIR = 21
 
 
 def _no_aux(gen):
@@ -61,9 +63,22 @@ def _interp_aux(gen):
     return (gate._degree, gate.num_points(), *domain, *gate.barycentric_weights)
 
 
+def _lut_pair_aux(gen):
+    """LookupTableGenerator outputs are build-time constants: the (inp, out)
+    pair at the generator's slot (or the LUT's first entry as padding) —
+    exactly run_once's computation (gates/lookup.py LookupTableGenerator)."""
+    first_row = (gen.last_lut_row
+                 + (len(gen.lut) + gen.num_slots - 1) // gen.num_slots - 1)
+    slot = (first_row - gen.row) * gen.num_slots + gen.slot_nb
+    i, o = gen.lut[slot] if slot < len(gen.lut) else gen.lut[0]
+    return (i, o)
+
+
 def _compilers():
     """type -> (opcode, aux_fn). Input/output rep orders are the generator's
-    dependencies()/outputs() orders, which the C opcodes mirror exactly."""
+    dependencies()/outputs() orders, which the C opcodes mirror exactly.
+    aux_fn == "lookup" marks the shared-table opcode (aux patched to the
+    table's offset after build)."""
     from plonky2_tpu.gadgets.extension_arithmetic import QuotientGeneratorExtension
     from plonky2_tpu.gadgets.inverse import EqualityGenerator, InverseGenerator
     from plonky2_tpu.gadgets.split_join import LowHighGenerator, WireSplitGenerator
@@ -74,6 +89,7 @@ def _compilers():
     from plonky2_tpu.gates.base_sum import BaseSplitGenerator
     from plonky2_tpu.gates.coset_interpolation import InterpolationGenerator
     from plonky2_tpu.gates.exponentiation import ExponentiationGenerator
+    from plonky2_tpu.gates.lookup import LookupGenerator, LookupTableGenerator
     from plonky2_tpu.gates.poseidon_gate import PoseidonGenerator
     from plonky2_tpu.gates.random_access import RandomAccessGenerator
     from plonky2_tpu.gates.reducing import ReducingExtensionGenerator, ReducingGenerator
@@ -105,6 +121,8 @@ def _compilers():
         ExponentiationGenerator: (_EXP, _no_aux),
         ConstantGenerator: (_CONSTANT, lambda g: (g.constant,)),
         RandomValueGenerator: (_RANDOM, lambda g: (0,)),
+        LookupGenerator: (_LOOKUP, "lookup"),
+        LookupTableGenerator: (_CONSTANT_PAIR, _lut_pair_aux),
     }
 
 
@@ -149,6 +167,12 @@ class WitnessPlan:
         seg_start = 0
         rep = witness.rep_index
 
+        # shared LUT storage: each distinct table is appended ONCE to the
+        # aux tail; WP_LOOKUP ops carry (offset, len) — patched after build
+        lut_ids: dict[int, int] = {}
+        lut_tables: list = []
+        patch_sites: list[tuple[int, int]] = []  # (aux index, table id)
+
         for level in levels:
             by_type: dict[type, list[int]] = {}
             for i in level:
@@ -169,7 +193,17 @@ class WitnessPlan:
                     opcodes.append(opcode)
                     in_reps.extend(rep(t) for t in g.dependencies())
                     out_reps.extend(rep(t) for t in g.outputs())
-                    aux.extend(int(a) % fs.P for a in aux_fn(g))
+                    if aux_fn == "lookup":
+                        key = id(g.lut)
+                        tid = lut_ids.get(key)
+                        if tid is None:
+                            tid = len(lut_tables)
+                            lut_ids[key] = tid
+                            lut_tables.append(g.lut)
+                        patch_sites.append((len(aux), tid))
+                        aux.extend((0, len(g.lut)))
+                    else:
+                        aux.extend(int(a) % fs.P for a in aux_fn(g))
                     in_off.append(len(in_reps))
                     out_off.append(len(out_reps))
                     aux_off.append(len(aux))
@@ -177,6 +211,15 @@ class WitnessPlan:
                 barriers.append(len(opcodes))
         if seg_start < len(opcodes):
             segments.append(("c", seg_start, len(opcodes)))
+
+        if lut_tables:
+            table_offsets = []
+            for t in lut_tables:
+                table_offsets.append(len(aux))
+                for ti, to in t:
+                    aux.extend((int(ti) % fs.P, int(to) % fs.P))
+            for site, tid in patch_sites:
+                aux[site] = table_offsets[tid]
 
         self.opcodes = np.asarray(opcodes, np.int32)
         self.in_off = np.asarray(in_off, np.int64)
@@ -192,6 +235,7 @@ class WitnessPlan:
         barriers_np = np.asarray(barriers, np.int64)
         self._seg_out_reps = {}
         self._seg_barriers = {}
+        self._seg_threads_ok = {}
         for s in segments:
             if s[0] != "c":
                 continue
@@ -201,6 +245,36 @@ class WitnessPlan:
             inner = barriers_np[(barriers_np > start) & (barriers_np < end)]
             self._seg_barriers[(start, end)] = np.concatenate(
                 [[start], inner, [end]]).astype(np.int64)
+            # MT safety: the C executor assumes each rep has ONE producer per
+            # level; two generators writing the same rep in one level would
+            # be a C++ data race (benign same-value in practice, still UB) —
+            # and a consumer could co-schedule with the second producer.
+            # Such levels run single-threaded.
+            bars = self._seg_barriers[(start, end)]
+            ok = True
+            for b0, b1 in zip(bars[:-1], bars[1:]):
+                lvl = self.out_reps[self.out_off[b0]:self.out_off[b1]]
+                if len(np.unique(lvl)) != len(lvl):
+                    ok = False
+                    break
+            self._seg_threads_ok[(start, end)] = ok
+
+        # external inputs per C segment: reps READ by the segment's ops but
+        # produced by no compiled op before the segment's end (levelization
+        # orders in-segment producers before consumers) — they must be known
+        # (PartialWitness inputs or a preceding py segment) when the segment
+        # runs; the C executor would silently read 0 for an unset slot where
+        # the levelized engine raised. Checked per run() against
+        # witness.known.
+        self._seg_ext_in = {}
+        for s in segments:
+            if s[0] != "c":
+                continue
+            start, end = s[1], s[2]
+            seg_in = np.unique(self.in_reps[self.in_off[start]:self.in_off[end]])
+            produced = self.out_reps[:self.out_off[end]]
+            self._seg_ext_in[(start, end)] = np.setdiff1d(
+                seg_in, produced, assume_unique=False)
 
     def run(self, witness, generators) -> None:
         from plonky2_tpu.iop.generator import GeneratedValues, _BATCH_MIN
@@ -215,10 +289,19 @@ class WitnessPlan:
         for seg in self.segments:
             if seg[0] == "c":
                 _, start, end = seg
+                ext = self._seg_ext_in[(start, end)]
+                if ext.size and not witness.known[ext].all():
+                    missing = ext[~witness.known[ext]]
+                    raise ValueError(
+                        f"batch read of unset representative: {missing[:8]} "
+                        "— a required PartialWitness input is missing "
+                        "(witness plan would silently read 0)")
+                nthreads = (_nthreads()
+                            if self._seg_threads_ok[(start, end)] else 1)
                 rc = native.witness_plan_run_mt(
                     values, self.opcodes, self.in_off, self.out_off,
                     self.aux_off, self.in_reps, self.out_reps, self.aux,
-                    self._seg_barriers[(start, end)], _nthreads())
+                    self._seg_barriers[(start, end)], nthreads)
                 if rc >= 0:
                     raise RuntimeError(
                         f"witness plan op {rc} (opcode {self.opcodes[rc]}) "

@@ -369,6 +369,8 @@ enum WpOp {
   WP_EXP = 17,
   WP_CONSTANT = 18,
   WP_RANDOM = 19,
+  WP_LOOKUP = 20,        // aux = (table offset into aux, table len)
+  WP_CONSTANT_PAIR = 21, // aux = (value0, value1) -> two outputs
 };
 
 struct WpCtx {
@@ -538,9 +540,10 @@ static i64 wp_exec_op(const WpCtx& c, i64 op) {
       }
       case WP_LOW_HIGH: {
         i64 nl = (i64)ax[0];
+        u64 mask = (nl >= 64) ? ~0ull : ((1ull << nl) - 1);
         u64 x = v[in[0]];
-        v[out[0]] = x & ((1ull << nl) - 1);
-        v[out[1]] = x >> nl;
+        v[out[0]] = x & mask;
+        v[out[1]] = (nl >= 64) ? 0 : (x >> nl);
         break;
       }
       case WP_INVERSE:
@@ -560,6 +563,7 @@ static i64 wp_exec_op(const WpCtx& c, i64 op) {
         // square-and-multiply intermediates (reference
         // gates/exponentiation.rs generator); bits big-endian in the scan
         i64 b = n_in - 1;
+        if (b <= 0) return op;  // 0 power bits would read out[-1] below
         u64 base = v[in[0]], cur = 1;
         for (i64 i = 0; i < b; i++) {
           if (v[in[1 + (b - i - 1)]] == 1) cur = gmul(cur, base);
@@ -574,6 +578,27 @@ static i64 wp_exec_op(const WpCtx& c, i64 op) {
         // WP_RANDOM's aux slot is refreshed by the Python caller per run
         // from the seedable prover rng (util/rng.py)
         v[out[0]] = ax[0];
+        break;
+      case WP_LOOKUP: {
+        // LUT lookup (gates/lookup.rs LookupGenerator): the (inp, out)
+        // pairs live ONCE per table at the tail of the shared aux buffer;
+        // identity-keyed tables (key k at slot k) take the O(1) fast path.
+        u64 inp = v[in[0]];
+        const u64* t = c.aux + (i64)ax[0];
+        i64 n = (i64)ax[1];
+        if ((i64)inp < n && t[2 * (i64)inp] == inp) {
+          v[out[0]] = t[2 * (i64)inp + 1];
+          break;
+        }
+        i64 j = 0;
+        for (; j < n; j++)
+          if (t[2 * j] == inp) { v[out[0]] = t[2 * j + 1]; break; }
+        if (j == n) return op;  // input not in the LUT
+        break;
+      }
+      case WP_CONSTANT_PAIR:
+        v[out[0]] = ax[0];
+        v[out[1]] = ax[1];
         break;
       default:
         return op;

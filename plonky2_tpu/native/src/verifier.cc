@@ -1754,9 +1754,11 @@ static void verify_compressed(const VerifierOnlyC& vd, const CommonC& cd,
 
 // ---------------------------------------------------------------------------
 // STARK verification (reference starky/src/verifier.rs:30-215,
-// get_challenges.rs, vanishing_poly.rs) for the FibonacciStark driver
-// fixture (starky/fibonacci_stark.py; standard_fast_config) — byte layout
-// per this repo's starky/serialization.py.
+// get_challenges.rs, vanishing_poly.rs), generic over an AIR descriptor —
+// byte layout per this repo's starky/serialization.py. Registered AIRs:
+// FibonacciStark and PermutationStark (starky/fibonacci_stark.py,
+// starky/test_starks.py), both under standard_fast_config; the reference
+// dual is the Stark-trait-generic verifier (starky/src/verifier.rs:30-68).
 // ---------------------------------------------------------------------------
 
 struct StarkProofC {
@@ -1769,15 +1771,84 @@ struct StarkProofC {
   std::vector<u64> public_inputs;
 };
 
-static void verify_stark_fibonacci(Reader& r) {
+// Compact AIR descriptor: trace shape + constraint evaluation. The
+// constraint order must match the Python Stark.eval exactly (the
+// alpha-accumulation is order-sensitive).
+struct StarkDescC {
+  const char* name;
+  u64 cols;
+  u64 num_public_inputs;
+  u64 constraint_degree;
+  // alpha-combined constraint evaluation at a point: fills accs[nc]
+  void (*eval)(const StarkProofC& pf, const std::vector<E>& local,
+               const std::vector<E>& next, const std::vector<u64>& alphas,
+               E zeta, u64 nc, std::vector<E>& accs);
+};
+
+// shared constraint-consumer helpers (starky/constraint_consumer.py):
+// l0 = Z_H / (n (x - 1)), llast = Z_H / (n (x - g^{n-1})), z_last = x - g^{-1}
+struct StarkPointCtx {
+  E l0, llast, z_last;
+  StarkPointCtx(u64 degree_bits, E zeta) {
+    u64 n = 1ull << degree_bits;
+    u64 g = root_of_unity((int)degree_bits);
+    E z_x = eaddc(eexp(zeta, n), P - 1);
+    l0 = ediv(z_x, escalar(n % P, eaddc(zeta, P - 1)));
+    llast = ediv(z_x, escalar(n % P, eaddc(escalar(g, zeta), P - 1)));
+    z_last = esub(zeta, efrom(gl_inv(g)));
+  }
+};
+
+static void eval_fibonacci(const StarkProofC& pf, const std::vector<E>& local,
+                           const std::vector<E>& next,
+                           const std::vector<u64>& alphas, E zeta, u64 nc,
+                           std::vector<E>& accs) {
+  // starky/fibonacci_stark.py eval: x0/x1 pinned at row 0, x1 pinned at the
+  // last row, transition x0' = x1, x1' = x0 + x1
+  StarkPointCtx c(pf.degree_bits, zeta);
+  auto cons = [&](E v) {
+    for (u64 i = 0; i < nc; i++)
+      accs[i] = eadd(emul(efrom(alphas[i]), accs[i]), v);
+  };
+  cons(emul(esub(local[0], efrom(pf.public_inputs[0])), c.l0));
+  cons(emul(esub(local[1], efrom(pf.public_inputs[1])), c.l0));
+  cons(emul(esub(local[1], efrom(pf.public_inputs[2])), c.llast));
+  cons(emul(esub(next[0], local[1]), c.z_last));
+  cons(emul(esub(next[1], eadd(local[0], local[1])), c.z_last));
+}
+
+static void eval_permutation(const StarkProofC& pf, const std::vector<E>& local,
+                             const std::vector<E>& next,
+                             const std::vector<u64>& alphas, E zeta, u64 nc,
+                             std::vector<E>& accs) {
+  // starky/test_starks.py PermutationStark eval: [x, y] pinned at row 0,
+  // transition swaps the pair
+  StarkPointCtx c(pf.degree_bits, zeta);
+  auto cons = [&](E v) {
+    for (u64 i = 0; i < nc; i++)
+      accs[i] = eadd(emul(efrom(alphas[i]), accs[i]), v);
+  };
+  cons(emul(esub(local[0], efrom(pf.public_inputs[0])), c.l0));
+  cons(emul(esub(local[1], efrom(pf.public_inputs[1])), c.l0));
+  cons(emul(esub(next[0], local[1]), c.z_last));
+  cons(emul(esub(next[1], local[0]), c.z_last));
+}
+
+static const StarkDescC STARK_REGISTRY[] = {
+  {"fibonacci", 2, 3, 2, eval_fibonacci},
+  {"permutation", 2, 2, 2, eval_permutation},
+};
+
+static void verify_stark(Reader& r, const StarkDescC& desc) {
   // standard_fast_config (starky/config.rs:52-64)
   FriConfigC fc;
   fc.rate_bits = 1; fc.cap_height = 4; fc.pow_bits = 16;
   fc.num_query_rounds = 84; fc.strat_kind = 1; fc.arity_bits = 4;
   fc.final_poly_bits = 5;
   const u64 security_bits = 100, nc = 2;
-  const u64 COLS = 2;     // FibonacciStark
-  const u64 QDF = 1;      // max(1, constraint_degree-1), degree 2
+  const u64 COLS = desc.cols;
+  const u64 QDF = desc.constraint_degree <= 2
+                      ? 1 : desc.constraint_degree - 1;
 
   // -- parse (starky/serialization.py read_stark_proof) ----------------------
   StarkProofC pf;
@@ -1838,31 +1909,16 @@ static void verify_stark_fibonacci(Reader& r) {
   pf.fri.pow_witness = r.field();
   pf.public_inputs = r.fields(r.usize());
   if (r.pos != r.n) throw std::runtime_error("trailing STARK proof bytes");
-  if (pf.public_inputs.size() != 3)
+  if (pf.public_inputs.size() != desc.num_public_inputs)
     throw std::runtime_error("wrong number of public inputs");
 
-  // -- FibonacciStark alpha-combined constraint evaluation at a point
-  //    (starky/fibonacci_stark.py eval + constraint_consumer.py) ------------
-  auto fib_vanishing = [&](const std::vector<E>& local,
-                           const std::vector<E>& next,
-                           const std::vector<u64>& alphas,
-                           E zeta) -> std::vector<E> {
-    u64 n = 1ull << pf.degree_bits;
-    u64 g = root_of_unity((int)pf.degree_bits);
-    E z_x = eaddc(eexp(zeta, n), P - 1);
-    E l0 = ediv(z_x, escalar(n % P, eaddc(zeta, P - 1)));
-    E llast = ediv(z_x, escalar(n % P, eaddc(escalar(g, zeta), P - 1)));
-    E z_last = esub(zeta, efrom(gl_inv(g)));
+  // alpha-combined constraint evaluation at a point, from the descriptor
+  auto vanishing_at = [&](const std::vector<E>& local,
+                          const std::vector<E>& next,
+                          const std::vector<u64>& alphas,
+                          E zeta) -> std::vector<E> {
     std::vector<E> accs(nc, EZERO);
-    auto cons = [&](E c) {
-      for (u64 i = 0; i < nc; i++)
-        accs[i] = eadd(emul(efrom(alphas[i]), accs[i]), c);
-    };
-    cons(emul(esub(local[0], efrom(pf.public_inputs[0])), l0));
-    cons(emul(esub(local[1], efrom(pf.public_inputs[1])), l0));
-    cons(emul(esub(local[1], efrom(pf.public_inputs[2])), llast));
-    cons(emul(esub(next[0], local[1]), z_last));
-    cons(emul(esub(next[1], eadd(local[0], local[1])), z_last));
+    desc.eval(pf, local, next, alphas, zeta, nc, accs);
     return accs;
   };
 
@@ -1883,8 +1939,10 @@ static void verify_stark_fibonacci(Reader& r) {
 
   // constraint binding: dummy openings from challenge powers
   // (starky/vanishing.py get_dummy_polys; get_challenges.rs:202-252)
-  const u64 pow_degree = 3;        // max(2, constraint_degree + 1)
-  const u64 log_pow_degree = 2;    // log2_ceil(3)
+  u64 pow_degree = desc.constraint_degree + 1;
+  if (pow_degree < 2) pow_degree = 2;
+  u64 log_pow_degree = 0;  // log2_ceil(pow_degree)
+  while ((1ull << log_pow_degree) < pow_degree) log_pow_degree++;
   u64 num_extension_powers = 50 / log_pow_degree - 1;
   if (num_extension_powers < 1) num_extension_powers = 1;
   u64 total = COLS * 2;
@@ -1901,7 +1959,7 @@ static void verify_stark_fibonacci(Reader& r) {
   E zeta_prime = ch.ext_challenge();
   std::vector<E> dummy_local(dummy.begin(), dummy.begin() + COLS);
   std::vector<E> dummy_next(dummy.begin() + COLS, dummy.begin() + 2 * COLS);
-  for (E c : fib_vanishing(dummy_local, dummy_next, alphas_prime, zeta_prime))
+  for (E c : vanishing_at(dummy_local, dummy_next, alphas_prime, zeta_prime))
     ch.observe_ext(c);
 
   std::vector<u64> alphas;
@@ -1928,7 +1986,7 @@ static void verify_stark_fibonacci(Reader& r) {
     fch.query_indices.push_back(ch.challenge() % lde);
 
   // -- quotient identity at zeta (starky/verifier.py) ------------------------
-  std::vector<E> vanishing = fib_vanishing(pf.local_values, pf.next_values,
+  std::vector<E> vanishing = vanishing_at(pf.local_values, pf.next_values,
                                            alphas, zeta);
   u64 n = 1ull << pf.degree_bits;
   E zeta_pow_deg = eexp(zeta, n);
@@ -1980,17 +2038,32 @@ static std::vector<uint8_t> read_file(const char* path) {
 int main(int argc, char** argv) {
   int argi = 1;
   bool compressed = false, stark = false;
+  const StarkDescC* stark_desc = &STARK_REGISTRY[0];
   while (argi < argc && argv[argi][0] == '-') {
     if (strcmp(argv[argi], "--keccak") == 0) KECCAK = true;
     else if (strcmp(argv[argi], "--compressed") == 0) compressed = true;
-    else if (strcmp(argv[argi], "--stark") == 0) stark = true;
+    else if (strncmp(argv[argi], "--stark", 7) == 0) {
+      stark = true;
+      // --stark (fibonacci default) or --stark=<air name>
+      if (argv[argi][7] == '=') {
+        const char* name = argv[argi] + 8;
+        stark_desc = nullptr;
+        for (const auto& d : STARK_REGISTRY)
+          if (strcmp(d.name, name) == 0) stark_desc = &d;
+        if (!stark_desc) {
+          fprintf(stderr, "unknown STARK air: %s\n", name);
+          return 2;
+        }
+      }
+    }
     else break;
     argi++;
   }
   if ((stark && argc - argi != 1) || (!stark && argc - argi != 2)) {
     fprintf(stderr,
             "usage: %s [--keccak] [--compressed] <verifier_data.bin> <proof.bin>\n"
-            "       %s --stark <stark_proof.bin>   (FibonacciStark, standard_fast_config)\n",
+            "       %s --stark[=fibonacci|permutation] <stark_proof.bin>  "
+            "(standard_fast_config)\n",
             argv[0], argv[0]);
     return 2;
   }
@@ -1998,7 +2071,7 @@ int main(int argc, char** argv) {
     if (stark) {
       auto pf_bytes = read_file(argv[argi]);
       Reader pr(pf_bytes.data(), pf_bytes.size());
-      verify_stark_fibonacci(pr);
+      verify_stark(pr, *stark_desc);
       printf("OK\n");
       return 0;
     }

@@ -42,7 +42,10 @@ _LANE = 128
 # Measured on v5e, n=2^20 iNTT+LDE(x8) pipeline: s=8 70.6ms vs s=2 ~195ms
 # vs pure-XLA 109.4ms.
 _SUBLANES = int(os.environ.get("PLONKY2_TPU_PALLAS_SUBLANES", "8"))
-_MIN_LG = 9
+# Round-5: lowered 9 -> 6 after verifying bit-identity + speed on the real
+# chip at prover sizes (degree 2^12 circuits four-step into lg_m = 6..8
+# factors; the XLA butterfly path there cost ~3x in the warm-prove chain).
+_MIN_LG = 6
 _MAX_LG = 11
 # "auto": on when running on real TPU; "1": always (native); "0": never.
 _FLAG = os.environ.get("PLONKY2_TPU_PALLAS", "auto")

@@ -198,6 +198,12 @@ class ProverCircuitData:
 
         return prove(self.prover_only, self.common, inputs, timing=timing)
 
+    def prove_many(self, inputs_list, timing=None, window=3, threads=2):
+        from plonky2_tpu.plonk.prover import prove_many
+
+        return prove_many(self.prover_only, self.common, inputs_list,
+                          timing=timing, window=window, threads=threads)
+
     def to_bytes(self, registry=None) -> bytes:
         from plonky2_tpu.plonk.prover_serialization import prover_data_to_bytes
 
@@ -255,6 +261,15 @@ class CircuitData:
         from plonky2_tpu.plonk.prover import prove
 
         return prove(self.prover_only, self.common, inputs, timing=timing)
+
+    def prove_many(self, inputs_list, timing=None, window=3, threads=2):
+        """Pipelined/threaded throughput proving of many witnesses of this
+        circuit (byte-identical to sequential prove calls); see
+        prover.prove_many."""
+        from plonky2_tpu.plonk.prover import prove_many
+
+        return prove_many(self.prover_only, self.common, inputs_list,
+                          timing=timing, window=window, threads=threads)
 
     def verify(self, proof_with_pis) -> None:
         from plonky2_tpu.plonk.verifier import verify

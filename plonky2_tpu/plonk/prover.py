@@ -381,7 +381,35 @@ def _lut_evals_device(common, deltas_dev):
     return fn(deltas_dev, _pj_key=_common_pj_key(common))
 
 
-def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> ProofWithPublicInputs:
+def prepare_witness(prover_data, common, inputs,
+                    timing: TimingTree | None = None):
+    """The host witness phase of a prove: generator execution (native
+    witness plan), lookup wire fill, public-input hash, full witness
+    matrix. ALL prover rng draws for a non-zk circuit happen here, so
+    running prepares in proof order keeps threaded prove_many
+    byte-identical to sequential proves."""
+    timing = timing or TimingTree("prepare")
+    gc = common.generic_config()
+    with timing.scope("generate partial witness"):
+        partition_witness = generate_partial_witness(inputs, prover_data,
+                                                     common)
+    if common.num_lookup_polys != 0:
+        set_lookup_wires(prover_data, common, partition_witness)
+    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
+    public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
+    with timing.scope("compute full witness"):
+        witness = partition_witness.full_witness()  # [num_wires, degree]
+    return witness, public_inputs, public_inputs_hash
+
+
+def prove(prover_data, common, inputs, timing: TimingTree | None = None,
+          _defer: bool = False, _prepared=None) -> ProofWithPublicInputs:
+    """_defer=True (internal, prove_many): dispatch the whole device chain
+    and return a zero-argument finish() closure instead of blocking on the
+    device->host fetch — only valid on the fused-transcript path; a
+    host-path prove completes eagerly and returns a closure over the done
+    proof. _prepared: output of prepare_witness (threaded prove_many runs
+    the witness phase on the caller thread for rng-order determinism)."""
     timing = timing or TimingTree("prove")
     config = common.config
     rate_bits = config.fri_config.rate_bits
@@ -395,21 +423,18 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
 
     has_lookup = common.num_lookup_polys != 0
 
-    with timing.scope("generate partial witness"):
-        partition_witness = generate_partial_witness(inputs, prover_data, common)
-
-    if has_lookup:
-        set_lookup_wires(prover_data, common, partition_witness)
-
-    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
-    public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
-
-    with timing.scope("compute full witness"):
-        witness = partition_witness.full_witness()  # [num_wires, degree]
+    if _prepared is None:
+        _prepared = prepare_witness(prover_data, common, inputs, timing)
+    witness, public_inputs, public_inputs_hash = _prepared
 
     with timing.scope("wires commitment"):
+        # ONE witness upload per proof: the commitment and round 2 share the
+        # same device copy (the tunnel serializes transfers with compute, so
+        # re-uploading the routed rows cost ~28 ms/proof at degree 2^12)
+        witness_dev = jnp.asarray(witness)
         wires_commitment = PolynomialBatch.from_values(
-            witness, rate_bits, zk and pcfg.WIRES.blinding, cap_height, hasher=hasher
+            witness_dev, rate_bits, zk and pcfg.WIRES.blinding, cap_height,
+            hasher=hasher
         )
 
     challenger = Challenger(hasher)
@@ -422,8 +447,9 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
                             wires_commitment):
         _LAST_TRANSCRIPT = "fused"
         out = _prove_fused(prover_data, common, challenger, wires_commitment,
-                           witness, public_inputs, public_inputs_hash, timing)
-        if _log.isEnabledFor(logging.DEBUG):
+                           witness, witness_dev, public_inputs,
+                           public_inputs_hash, timing, defer=_defer)
+        if _log.isEnabledFor(logging.DEBUG) and not _defer:
             timing.print(min_seconds=0.01)
         return out
 
@@ -441,7 +467,7 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
         deltas = []
 
     with timing.scope("partial products and Zs"):
-        wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
+        wires_values_routed = witness_dev[: config.num_routed_wires]
         zs_partial_products = _all_partial_products_and_zs(
             wires_values_routed, prover_data, common, betas, gammas
         )
@@ -524,7 +550,10 @@ def prove(prover_data, common, inputs, timing: TimingTree | None = None) -> Proo
     )
     if _log.isEnabledFor(logging.DEBUG):
         timing.print(min_seconds=0.01)
-    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+    out = ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+    if _defer:  # host path completes eagerly; keep the prove_many contract
+        return lambda: out
+    return out
 
 
 # -- round 2: permutation partial products & Z polynomials -------------------
@@ -544,7 +573,7 @@ def _round2_one_challenge(wires_routed, sigmas, k_is, subgroup, beta_gamma, qdf)
     s_id = g.mul(k_is[:, None], subgroup[None, :])  # [R, n]
     numer = g.add(wires_routed, g.add(g.mul(beta, s_id), gamma))
     denom = g.add(wires_routed, g.add(g.mul(beta, sigmas), gamma))
-    quot = g.mul(numer, g.inverse(denom))  # [R, n]
+    quot = g.mul(numer, g.inverse_rows(denom))  # [R, n]
 
     R, n = quot.shape
     num_chunks = (R + qdf - 1) // qdf
@@ -569,6 +598,27 @@ def _round2_one_challenge(wires_routed, sigmas, k_is, subgroup, beta_gamma, qdf)
     return z, partial_products
 
 
+def _round2_device_tables(prover_data, common):
+    """Per-circuit device-resident round-2 constants (sigmas, k_is,
+    subgroup). Cached on prover_data: re-uploading sigmas (~2.6 MB at
+    degree 2^12) every prove costs a host->device transfer per proof —
+    pure overhead in the pipelined throughput path."""
+    from plonky2_tpu.parallel import active_mesh, replicate, shard_lanes
+
+    key = (id(common), active_mesh() and id(active_mesh()))
+    cached = getattr(prover_data, "_round2_tables", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    tables = (
+        shard_lanes(jnp.asarray(prover_data.sigmas)),
+        replicate(jnp.asarray(np.asarray(common.k_is, dtype=np.uint64))),
+        shard_lanes(jnp.asarray(np.asarray(prover_data.subgroup,
+                                           dtype=np.uint64))),
+    )
+    prover_data._round2_tables = (key, tables)
+    return tables
+
+
 def _all_partial_products_and_zs(wires_values_routed, prover_data, common, betas, gammas):
     """[num_challenges*(1+num_prods), degree]: all Z polys first, then the
     partial products per challenge (reference prover.rs:220-257 layout)."""
@@ -580,9 +630,7 @@ def _all_partial_products_and_zs(wires_values_routed, prover_data, common, betas
     # lane-sharded: rows (evaluation points) are the long axis; the scans
     # lower to sharded associative scans (reference prover.rs:407-433 row-par)
     wires_values_routed = shard_lanes(wires_values_routed)
-    sigmas = shard_lanes(jnp.asarray(prover_data.sigmas))
-    k_is = replicate(jnp.asarray(np.asarray(common.k_is, dtype=np.uint64)))
-    subgroup = shard_lanes(jnp.asarray(np.asarray(prover_data.subgroup, dtype=np.uint64)))
+    sigmas, k_is, subgroup = _round2_device_tables(prover_data, common)
     device_draws = isinstance(betas, jax.Array)  # fused transcript path
     for i in range(common.config.num_challenges):
         bg = (jnp.stack([betas[i], gammas[i]]) if device_draws
@@ -782,25 +830,37 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
     # natural-order sub-LDE: stride-`step` subsample of the stored LDE;
     # point-sharded under an active mesh (embarrassingly parallel map over
     # the evaluation domain, reference plonk/prover.rs:607-687)
-    from plonky2_tpu.parallel import shard_lanes
+    from plonky2_tpu.parallel import active_mesh, shard_lanes
 
     cs_q = shard_lanes(constants_sigmas_commitment.lde[:, ::step])
     wires_q = shard_lanes(wires_commitment.lde[:, ::step])
     zs_pp_q = shard_lanes(zs_pp_commitment.lde[:, ::step])
 
-    # domain points x = shift * v^j (v the Q-th root) and Z_H(x)^-1 (period qdf)
-    v = fs.primitive_root_of_unity(qd_bits + common.degree_bits)
-    xs = g.np_powers(v, Q)
-    xs = np.asarray(
-        (xs.astype(object) * fs.MULTIPLICATIVE_GROUP_GENERATOR) % fs.P, dtype=np.uint64
-    )
-    u = fs.exp(v, n)  # order qdf
-    shift_pow_n = fs.exp(fs.MULTIPLICATIVE_GROUP_GENERATOR, n)
-    z_h_vals = [fs.sub(fs.mul(shift_pow_n, fs.exp(u, j)), 1) for j in range(qdf)]
-    z_h = np.tile(np.asarray(z_h_vals, dtype=np.uint64), Q // qdf)
-    z_h_inv = np.tile(
-        np.asarray(fs.batch_inverse(z_h_vals), dtype=np.uint64), Q // qdf
-    )
+    # domain points x = shift * v^j (v the Q-th root) and Z_H(x)^-1 (period
+    # qdf); cached device-resident per (circuit, mesh) — the object-dtype
+    # host math + upload would otherwise repeat every prove
+    dt_key = (id(common), active_mesh() and id(active_mesh()))
+    cached = prover_data.quotient_domain_tables
+    if cached is not None and cached[0] == dt_key:
+        xs_dev, z_h_dev, z_h_inv_dev = cached[1]
+    else:
+        v = fs.primitive_root_of_unity(qd_bits + common.degree_bits)
+        xs = g.np_powers(v, Q)
+        xs = np.asarray(
+            (xs.astype(object) * fs.MULTIPLICATIVE_GROUP_GENERATOR) % fs.P,
+            dtype=np.uint64)
+        u = fs.exp(v, n)  # order qdf
+        shift_pow_n = fs.exp(fs.MULTIPLICATIVE_GROUP_GENERATOR, n)
+        z_h_vals = [fs.sub(fs.mul(shift_pow_n, fs.exp(u, j)), 1)
+                    for j in range(qdf)]
+        z_h = np.tile(np.asarray(z_h_vals, dtype=np.uint64), Q // qdf)
+        z_h_inv = np.tile(
+            np.asarray(fs.batch_inverse(z_h_vals), dtype=np.uint64), Q // qdf)
+        xs_dev = shard_lanes(jnp.asarray(xs))
+        z_h_dev = shard_lanes(jnp.asarray(z_h))
+        z_h_inv_dev = shard_lanes(jnp.asarray(z_h_inv))
+        prover_data.quotient_domain_tables = (
+            dt_key, (xs_dev, z_h_dev, z_h_inv_dev))
 
     nc = common.config.num_challenges
     if common.num_lookup_polys:
@@ -830,8 +890,7 @@ def _compute_quotient_polys(prover_data, common, constants_sigmas_commitment,
         _draws(betas), _draws(gammas), _draws(alphas),
         deltas_arr, lut_re_evals,
         jnp.asarray(np.asarray(public_inputs_hash, dtype=np.uint64)),
-        shard_lanes(jnp.asarray(xs)), shard_lanes(jnp.asarray(z_h)),
-        shard_lanes(jnp.asarray(z_h_inv)),
+        xs_dev, z_h_dev, z_h_inv_dev,
         _pj_key=_common_pj_key(common),
     )
 
@@ -1016,8 +1075,8 @@ def _openings_final_fn(n_cs, n_w, n_z, n_q, nc, degree_bits, rate_bits,
 
 
 def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
-                 public_inputs, public_inputs_hash,
-                 timing) -> ProofWithPublicInputs:
+                 witness_dev, public_inputs, public_inputs_hash,
+                 timing, defer: bool = False) -> ProofWithPublicInputs:
     """Prove with a DEVICE-resident Fiat-Shamir transcript: after the host
     observes the pre-cap prefix (params, digest, PI hash), every transcript
     interaction — the three commitment caps, the openings, the FRI fold
@@ -1060,7 +1119,7 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
     betas, gammas = draws1[:nc], draws1[nc:2 * nc]
 
     with timing.scope("partial products and Zs"):
-        wires_values_routed = jnp.asarray(witness[: config.num_routed_wires])
+        wires_values_routed = witness_dev[: config.num_routed_wires]
         zs_partial_products = _all_partial_products_and_zs(
             wires_values_routed, prover_data, common, betas, gammas)
 
@@ -1121,53 +1180,125 @@ def _prove_fused(prover_data, common, challenger, wires_commitment, witness,
         jnp.ravel(cap_w), jnp.ravel(cap_z), jnp.ravel(cap_q),
         jnp.ravel(packed), zz])
 
-    with timing.scope("FRI opening proof"):
-        opening_proof, extra_host = _fri_proof_fused(
+    with timing.scope("FRI opening proof" if not defer else "FRI dispatch"):
+        fri_out = _fri_proof_fused(
             [prover_data.constants_sigmas_commitment.merkle_tree,
              wires_commitment.merkle_tree,
              partial_products_zs_commitment.merkle_tree,
              quotient_polys_commitment.merkle_tree],
             (f0, f1), None, common.fri_params,
-            device_state=(sponge, []), extra_payload=extra, timing=timing)
+            device_state=(sponge, []), extra_payload=extra, timing=timing,
+            defer=defer)
 
-    # -- parse the payload (the proof's host-side pieces) --------------------
-    flat = extra_host
-    caps = []
-    pos = 0
-    for _ in range(3):
-        caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
-                     for r in range(C)])
-        pos += C * 4
-    packed_h = flat[pos:pos + 2 * total].reshape(2, total)
-    pos += 2 * total
-    zz_h = [int(v) for v in flat[pos:pos + 4]]
-    zeta = (zz_h[0], zz_h[1])
-    # reference plonk/prover.rs:306-314 checks before openings; the result
-    # is transcript-deterministic so checking after the fetch is equivalent
-    if fs.ext_exp(zeta, degree) == fs.ext_one(2):
-        raise ValueError("Opening point is in the subgroup.")
+    def finish() -> ProofWithPublicInputs:
+        opening_proof, extra_host = fri_out() if defer else fri_out
 
-    off = np.cumsum([0, n_cs, n_w, n_z, n_z])
-    segs = [[(int(a), int(b)) for a, b in zip(packed_h[0, s:e], packed_h[1, s:e])]
-            for s, e in zip(off, list(off[1:]) + [total])]
-    cs_eval, wires_eval, zs_pp_eval, zs_pp_next_eval, quot_eval = segs
-    openings = OpeningSet(
-        constants=[cs_eval[i] for i in common.constants_range()],
-        plonk_sigmas=[cs_eval[i] for i in common.sigmas_range()],
-        wires=wires_eval,
-        plonk_zs=[zs_pp_eval[i] for i in common.zs_range()],
-        plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
-        partial_products=[zs_pp_eval[i] for i in common.partial_products_range()],
-        quotient_polys=quot_eval,
-        lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
-        lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
-    )
+        # -- parse the payload (the proof's host-side pieces) ----------------
+        flat = extra_host
+        caps = []
+        pos = 0
+        for _ in range(3):
+            caps.append([[int(v) for v in flat[pos + r * 4:pos + (r + 1) * 4]]
+                         for r in range(C)])
+            pos += C * 4
+        packed_h = flat[pos:pos + 2 * total].reshape(2, total)
+        pos += 2 * total
+        zz_h = [int(v) for v in flat[pos:pos + 4]]
+        zeta = (zz_h[0], zz_h[1])
+        # reference plonk/prover.rs:306-314 checks before openings; the result
+        # is transcript-deterministic so checking after the fetch is equivalent
+        if fs.ext_exp(zeta, degree) == fs.ext_one(2):
+            raise ValueError("Opening point is in the subgroup.")
 
-    proof = Proof(
-        wires_cap=caps[0],
-        plonk_zs_partial_products_cap=caps[1],
-        quotient_polys_cap=caps[2],
-        openings=openings,
-        opening_proof=opening_proof,
-    )
-    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+        off = np.cumsum([0, n_cs, n_w, n_z, n_z])
+        segs = [[(int(a), int(b))
+                 for a, b in zip(packed_h[0, s:e], packed_h[1, s:e])]
+                for s, e in zip(off, list(off[1:]) + [total])]
+        cs_eval, wires_eval, zs_pp_eval, zs_pp_next_eval, quot_eval = segs
+        openings = OpeningSet(
+            constants=[cs_eval[i] for i in common.constants_range()],
+            plonk_sigmas=[cs_eval[i] for i in common.sigmas_range()],
+            wires=wires_eval,
+            plonk_zs=[zs_pp_eval[i] for i in common.zs_range()],
+            plonk_zs_next=[zs_pp_next_eval[i] for i in common.zs_range()],
+            partial_products=[zs_pp_eval[i]
+                              for i in common.partial_products_range()],
+            quotient_polys=quot_eval,
+            lookup_zs=[zs_pp_eval[i] for i in common.lookup_range()],
+            lookup_zs_next=[zs_pp_next_eval[i] for i in common.lookup_range()],
+        )
+
+        proof = Proof(
+            wires_cap=caps[0],
+            plonk_zs_partial_products_cap=caps[1],
+            quotient_polys_cap=caps[2],
+            openings=openings,
+            opening_proof=opening_proof,
+        )
+        return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+    if defer:
+        return finish
+    return finish()
+
+
+def prove_many(prover_data, common, inputs_list, timing: TimingTree | None = None,
+               window: int = 3, threads: int = 2) -> list[ProofWithPublicInputs]:
+    """Batched/pipelined throughput proving: prove many witnesses of ONE
+    circuit, overlapping host witness generation, host<->device transfers
+    and device compute across proofs — the TPU dual of the reference's
+    whole-machine rayon parallelism over independent proofs
+    (maybe_rayon/src/lib.rs:31-289; protocol analog
+    examples/bench_recursion.rs:294-349 at --threads N).
+
+    Two composable mechanisms:
+      * deferred fetches (always): each proof's device chain is dispatched
+        without blocking; the single device->host fetch + parse happen
+        later, so the device queue stays full (`window` bounds in-flight
+        proofs — each middle-layer proof holds ~100 MB of oracle LDEs).
+      * dispatch threads (threads >= 2): the axon tunnel overlaps
+        transfers/executions issued from different host threads, which a
+        single dispatch stream serializes (measured: 5.1 -> 7.3 proofs/s
+        at the bench middle layer). The witness phase — where ALL of a
+        non-zk proof's rng draws happen — still runs on the caller thread
+        in proof order, so proofs stay byte-identical to sequential
+        `prove` calls. zk circuits draw oracle salts during the device
+        phase, so threaded mode would reorder their rng stream; they fall
+        back to the single-stream pipeline (same proofs, reproducible).
+
+    Byte-identity vs sequential proves is asserted by
+    tests/test_prove_many.py for both modes."""
+    timing = timing or TimingTree("prove_many")
+    zk = common.config.zero_knowledge
+    if threads >= 2 and not zk:
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: list = [None] * len(inputs_list)
+        done = 0
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            futures = []
+            for inputs in inputs_list:
+                # witness + rng on THIS thread, in proof order
+                prepared = prepare_witness(prover_data, common, inputs)
+                futures.append(pool.submit(
+                    prove, prover_data, common, None, _prepared=prepared))
+                while len(futures) > window:
+                    out[done] = futures.pop(0).result()
+                    done += 1
+            for f in futures:
+                out[done] = f.result()
+                done += 1
+        return out
+
+    out = []
+    pending: list = []
+    for i, inputs in enumerate(inputs_list):
+        with timing.scope(f"dispatch proof {i}"):
+            pending.append(prove(prover_data, common, inputs, _defer=True))
+        while len(pending) >= window:
+            with timing.scope(f"finish proof {len(out)}"):
+                out.append(pending.pop(0)())
+    while pending:
+        with timing.scope(f"finish proof {len(out)}"):
+            out.append(pending.pop(0)())
+    return out

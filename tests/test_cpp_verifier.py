@@ -190,3 +190,45 @@ def test_cpp_verifier_accepts_fresh_proof(verifier_bin, tmp_path):
     pf.write_bytes(proof_to_bytes(proof))
     r = _run(verifier_bin, vd, pf)
     assert r.returncode == 0, r.stderr
+
+
+def test_cpp_verifier_accepts_permutation_stark(verifier_bin):
+    """Round 5: the native STARK verification is generic over an AIR
+    registry (reference starky/src/verifier.rs:30-68 is Stark-trait
+    generic); PermutationStark is the second registered AIR."""
+    r = subprocess.run(
+        [verifier_bin, "--stark=permutation",
+         str(FIXTURES / "starky_permutation.proof.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "OK"
+
+
+def test_cpp_verifier_rejects_cross_air_stark(verifier_bin):
+    """A proof verified under the WRONG AIR descriptor must fail (the
+    constraint set is part of the statement)."""
+    r = subprocess.run(
+        [verifier_bin, "--stark=permutation",
+         str(FIXTURES / "starky_fibonacci.proof.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    r = subprocess.run(
+        [verifier_bin, "--stark=fibonacci",
+         str(FIXTURES / "starky_permutation.proof.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+
+
+def test_cpp_verifier_rejects_tampered_permutation_stark(verifier_bin,
+                                                         tmp_path):
+    pb = bytearray((FIXTURES / "starky_permutation.proof.bin").read_bytes())
+    rng = random.Random(29)
+    for _ in range(4):
+        b = bytearray(pb)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        t = tmp_path / "tampered_p.bin"
+        t.write_bytes(bytes(b))
+        r = subprocess.run([verifier_bin, "--stark=permutation", str(t)],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0, f"tampered byte {pos} accepted"

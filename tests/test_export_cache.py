@@ -1,5 +1,7 @@
 """Persistent traced-program cache (plonky2_tpu.util.export_cache)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -64,3 +66,45 @@ def test_mesh_bypass(tmp_path, monkeypatch):
     assert (out == np.asarray(_fn(np.arange(16, dtype=np.uint64), 1, 0))).all()
     exports = (tmp_path / "exports")
     assert not exports.exists() or not list(exports.iterdir())
+
+
+def test_host_only_salt_exclusions_never_import_jax():
+    """The _source_salt host-only exclusion list is safe only while none of
+    the excluded files can reach a traced device program: an excluded file
+    importing jax (or a module that traces) could change compiled behavior
+    while serving stale cached executables. Machine-check the invariant
+    (ADVICE r4): no excluded .py file imports jax or jax.numpy at module
+    level or inside functions."""
+    import re
+
+    import plonky2_tpu
+    from plonky2_tpu.util.export_cache import _HOST_ONLY
+
+    root = os.path.dirname(os.path.abspath(plonky2_tpu.__file__))
+    pat = re.compile(r"^\s*(import jax\b|from jax\b)", re.M)
+    # the cache harness itself manipulates jax exports/executables but
+    # defines no traced math; it is the one legitimate jax user in the list
+    allowed = {"util/export_cache.py"}
+    checked = 0
+    for pfx in _HOST_ONLY:
+        if pfx in allowed:
+            checked += 1
+            continue
+        full = os.path.join(root, pfx)
+        files = []
+        if os.path.isdir(full):
+            for dp, _, fns in os.walk(full):
+                files += [os.path.join(dp, f) for f in fns
+                          if f.endswith(".py")]
+        elif os.path.exists(full):
+            files = [full]
+        for f in files:
+            with open(f) as fh:
+                src = fh.read()
+            m = pat.search(src)
+            assert m is None, (
+                f"{os.path.relpath(f, root)} is excluded from the export-"
+                f"cache source salt but imports jax: {m.group(0)!r} — move "
+                "it out of _HOST_ONLY or remove the import")
+            checked += 1
+    assert checked >= 5  # the exclusion list covers real files

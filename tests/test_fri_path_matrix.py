@@ -152,6 +152,46 @@ def test_lookup_circuit_takes_fused_transcript_and_matches_host():
     assert proof_to_bytes(proof_fused) == proof_to_bytes(proof_host)
 
 
+def test_lookup_circuit_under_mesh_fused_and_identical():
+    """Lookup circuit + 8-device mesh (VERDICT r4 #4): the device
+    associative-scan lookup columns (RE/partial-SLDC) and LUT-binding
+    Horner sums reshard under the mesh and the proof stays byte-identical
+    to the single-device fused prove."""
+    from plonky2_tpu.parallel import make_mesh, use_mesh
+
+    config = CircuitConfig.standard_recursion_config()
+    b = CircuitBuilder(config)
+    lut = b.add_lookup_table_from_table(list(range(16)),
+                                        [(7 * i + 3) % 16 for i in range(16)])
+    x = b.add_virtual_target()
+    out = b.add_lookup_from_index(x, lut)
+    b.register_public_input(out)
+    cur = out
+    for i in range(700):
+        cur = b.mul(cur, b.constant(i % 13 + 1))
+    b.register_public_input(cur)
+    data = b.build()
+    assert data.common.num_lookup_polys > 0
+    assert len(data.common.fri_params.reduction_arity_bits) >= 1
+
+    def run():
+        pw = PartialWitness()
+        pw.set_target(x, 5)
+        rng.seed(78)
+        proof = data.prove(pw)
+        rng.seed(None)
+        data.verify(proof)
+        return proof
+
+    proof_single = run()
+    assert fp._LAST_PATH == "fused"
+    with use_mesh(make_mesh(8)):
+        proof_mesh = run()
+    assert fp._LAST_PATH == "fused"
+    assert pp._LAST_TRANSCRIPT == "fused"
+    assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
+
+
 def _zk_mul_chain(n_muls):
     config = CircuitConfig.standard_recursion_zk_config()
     b = CircuitBuilder(config)
@@ -197,10 +237,11 @@ def test_zk_config_under_mesh_fused_and_identical():
     assert proof_to_bytes(proof_mesh) == proof_to_bytes(proof_single)
 
 
-def test_batch_fri_oracle_takes_batch_host_path():
-    """A BatchFriOracle prove runs the host-transcript batch commit loop
-    (the fold chain absorbs a new degree group between steps) — pinned so
-    any future fusing of batch FRI must update the matrix."""
+def test_batch_fri_oracle_takes_batch_fused_path():
+    """A BatchFriOracle prove takes the FUSED batch commit program (folds +
+    degree-group absorption + PoW + query draws in one device program,
+    reference batch_fri/prover.rs:25-148) and is byte-identical to the
+    forced host-transcript commit loop."""
     import jax.numpy as jnp
 
     from plonky2_tpu.field import scalar as fs
@@ -228,10 +269,31 @@ def test_batch_fri_oracle_takes_batch_host_path():
     for k in range(2):
         comp.append((jnp.asarray(groups[k][0]),
                      jnp.asarray(np.zeros_like(groups[k][0]))))
+
     challenger = Challenger()
     challenger.observe_element(9)
-    batch_fri_proof([oracle.batch_merkle_tree], comp, challenger, params)
-    assert fp._LAST_PATH == "batch_host"
+    proof_fused = batch_fri_proof([oracle.batch_merkle_tree], comp,
+                                  challenger, params)
+    assert fp._LAST_PATH == "batch_fused"
+    fused_state = (list(challenger.sponge_state), list(challenger.input_buffer),
+                   list(challenger.output_buffer))
+
+    with fp.force_host_path():
+        challenger_h = Challenger()
+        challenger_h.observe_element(9)
+        proof_host = batch_fri_proof([oracle.batch_merkle_tree], comp,
+                                     challenger_h, params)
+        assert fp._LAST_PATH == "batch_host"
+
+    assert _proof_key(proof_fused) == _proof_key(proof_host)
+    assert fused_state == (list(challenger_h.sponge_state),
+                           list(challenger_h.input_buffer),
+                           list(challenger_h.output_buffer))
+
+
+def _proof_key(p):
+    return (p.commit_phase_merkle_caps, p.final_poly, p.pow_witness,
+            repr(p.query_round_proofs))
 
 
 def test_fixed_shape_takes_commit_fused_path():

@@ -162,3 +162,71 @@ def test_plan_python_fallback_for_unknown_generator():
     plan = data.prover_only._witness_plan
     assert not plan.fully_native
     assert w.get_target(y) == (11 * 3 + 1)
+
+
+def test_plan_lookup_circuit_fully_native():
+    """Lookup circuits compile fully native (WP_LOOKUP with shared-table
+    aux tail + WP_CONSTANT_PAIR for the LUT fills) and prove byte-identically
+    to the levelized engine (VERDICT r4 #7)."""
+    from plonky2_tpu.gadgets.lookup import TIP5_TABLE
+    from plonky2_tpu.plonk.serialization import proof_to_bytes
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    tip5_idx = b.add_lookup_table_from_table(list(range(256)),
+                                             list(TIP5_TABLE))
+    a = b.add_virtual_target()
+    out = b.add_lookup_from_index(a, tip5_idx)
+    for _ in range(40):
+        b.add_lookup_from_index(out, 0)
+    b.register_public_input(out)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(a, 2)
+
+    _plan_on()
+    rng.seed(19)
+    p_plan = data.prove(pw)
+    data.verify(p_plan)
+    plan = data.prover_only._witness_plan
+    assert plan.fully_native, (
+        f"py-fallback segments: {[s for s in plan.segments if s[0] != 'c']}")
+
+    _plan_off()
+    data.prover_only._witness_plan = None
+    rng.seed(19)
+    p_ref = data.prove(pw)
+    assert proof_to_bytes(p_ref) == proof_to_bytes(p_plan)
+
+
+def test_plan_lookup_rejects_bad_input():
+    """WP_LOOKUP: an input outside the LUT fails loudly (reference
+    LookupGenerator 'Incorrect input value provided')."""
+    from plonky2_tpu.gadgets.lookup import TIP5_TABLE
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    tip5_idx = b.add_lookup_table_from_table(list(range(256)),
+                                             list(TIP5_TABLE))
+    a = b.add_virtual_target()
+    out = b.add_lookup_from_index(a, tip5_idx)
+    b.register_public_input(out)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(a, 4096)  # not a TIP5 key
+    _plan_on()
+    with pytest.raises((RuntimeError, ValueError)):
+        generate_partial_witness(pw, data.prover_only, data.common)
+
+
+def test_plan_missing_input_raises():
+    """An absent PartialWitness input raises the old-style unset-read error
+    instead of the C executor silently reading 0 (ADVICE r4 medium)."""
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    x = b.add_virtual_target()
+    y = b.mul(x, x)
+    b.register_public_input(y)
+    data = b.build()
+    _plan_on()
+    with pytest.raises((ValueError, AssertionError),
+                       match="unset|not set|starv"):
+        generate_partial_witness(PartialWitness(), data.prover_only,
+                                 data.common)

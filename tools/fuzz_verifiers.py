@@ -177,7 +177,9 @@ def fuzz_one(seed: int, verifier_bin=None, tmpdir=None) -> dict:
 
 
 def fuzz_stark(seed: int, verifier_bin=None, tmpdir=None) -> dict:
-    """Prove a random-size FibonacciStark and cross-verify natively."""
+    """Prove a random-size STARK (alternating FibonacciStark /
+    PermutationStark — both AIRs in the C++ registry) and cross-verify
+    natively."""
     import os
     import subprocess
 
@@ -185,6 +187,7 @@ def fuzz_stark(seed: int, verifier_bin=None, tmpdir=None) -> dict:
     from plonky2_tpu.starky.fibonacci_stark import FibonacciStark, fibonacci
     from plonky2_tpu.starky.prover import prove
     from plonky2_tpu.starky.serialization import stark_proof_to_bytes
+    from plonky2_tpu.starky.test_starks import PermutationStark
     from plonky2_tpu.starky.verifier import verify_stark_proof
 
     r = random.Random(seed)
@@ -192,23 +195,28 @@ def fuzz_stark(seed: int, verifier_bin=None, tmpdir=None) -> dict:
     x0, x1 = r.randrange(1 << 32), r.randrange(1 << 32)
     num_rows = 1 << log_rows
     config = StarkConfig.standard_fast_config()
-    stark = FibonacciStark(num_rows)
-    public_inputs = [x0, x1, fibonacci(num_rows - 1, x0, x1)]
+    air = "fibonacci" if seed % 2 == 0 else "permutation"
+    if air == "fibonacci":
+        stark = FibonacciStark(num_rows)
+        public_inputs = [x0, x1, fibonacci(num_rows - 1, x0, x1)]
+    else:
+        stark = PermutationStark(num_rows)
+        public_inputs = [x0, x1]
     trace = stark.generate_trace(x0, x1)
     proof = prove(stark, config, trace, public_inputs)
     verify_stark_proof(stark, proof, config)
-    info = {"seed": seed, "stark": "fibonacci", "log_rows": log_rows,
+    info = {"seed": seed, "stark": air, "log_rows": log_rows,
             "cpp": None}
     if verifier_bin is not None:
         assert tmpdir is not None
         pb = os.path.join(tmpdir, f"fuzz_stark_{seed}.proof.bin")
         with open(pb, "wb") as f:
             f.write(stark_proof_to_bytes(proof, config))
-        res = subprocess.run([verifier_bin, "--stark", pb],
+        res = subprocess.run([verifier_bin, f"--stark={air}", pb],
                              capture_output=True, text=True, timeout=300)
         assert res.returncode == 0 and res.stdout.strip() == "OK", (
-            f"stark seed {seed}: C++ verifier rejected a valid proof: "
-            f"{res.stderr or res.stdout}")
+            f"stark seed {seed} ({air}): C++ verifier rejected a valid "
+            f"proof: {res.stderr or res.stdout}")
         info["cpp"] = "OK"
     return info
 

@@ -74,6 +74,16 @@ def starky_fixture():
     verify_stark_proof(stark, proof, config)
     _write("starky_fibonacci.proof.bin", stark_proof_to_bytes(proof, config))
 
+    from plonky2_tpu.starky.test_starks import PermutationStark
+
+    print("starky_permutation")
+    stark_p = PermutationStark(num_rows)
+    pis = [3, 9]
+    trace_p = stark_p.generate_trace(pis[0], pis[1])
+    proof_p = prove(stark_p, config, trace_p, pis)
+    verify_stark_proof(stark_p, proof_p, config)
+    _write("starky_permutation.proof.bin", stark_proof_to_bytes(proof_p, config))
+
 
 def bench_recursion_fixture():
     from plonky2_tpu.examples.bench_recursion import dummy_proof, recursive_proof
