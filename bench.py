@@ -350,7 +350,6 @@ def microbench_metrics():
     from benches import ffts, hashing, merkle
 
     rows = []
-    orig = bcommon.report
 
     def capture(name, size, seconds, unit="elems/s", elems=None, **extra):
         row = {"bench": name, "size": size, "seconds": round(seconds, 6)}
@@ -360,9 +359,16 @@ def microbench_metrics():
         rows.append(row)
         return row
 
-    bcommon.report = capture
-    for mod, kwargs in ((ffts, {"sizes": (13, 16), "iters": 4}),
-                        (hashing, {}), (merkle, {})):
+    mods = (ffts, hashing, merkle)
+    origs = [(bcommon, bcommon.report)] + [(m, m.report) for m in mods]
+    # patch each module's own binding (`from benches.common import report`
+    # binds by value at import time)
+    for m, _ in origs:
+        m.report = capture
+    # enough in-jit iterations that device compute dominates the ~25 ms
+    # tunnel RTT at the small criterion sizes
+    for mod, kwargs in ((ffts, {"sizes": (13, 16), "iters": 48}),
+                        (hashing, {"iters": 48}), (merkle, {})):
         if _left() < 120:
             break
         try:
@@ -370,7 +376,8 @@ def microbench_metrics():
         except Exception:
             _STATE["extra"].setdefault("microbench_errors", []).append(
                 traceback.format_exc(limit=2))
-    bcommon.report = orig
+    for m, orig in origs:
+        m.report = orig
     for row in rows:
         _emit(f"microbench {row['bench']} ({row['size']})",
               row.get("throughput", row["seconds"]),

@@ -15,20 +15,29 @@ import json
 import time
 
 
-def measure_device(pipeline_sum, values, iters: int, *, subtract_rtt: bool = True):
+def measure_device(pipeline_sum, values, iters: int, *, subtract_rtt: bool = True,
+                   calls: int = 2):
     """pipeline_sum: jitted fn running `iters` iterations internally and
-    returning a scalar. Returns seconds per iteration."""
-    ref = int(pipeline_sum(values))  # compile + warmup
-    t0 = time.perf_counter()
-    out = int(pipeline_sum(values))
-    dt = time.perf_counter() - t0
+    returning a scalar. Returns seconds per iteration (min over `calls`).
+
+    The input is perturbed per call: the axon runtime MEMOIZES repeated
+    executions with identical input buffers, which collapses same-input
+    repeat timings to ~0 (round-5 finding)."""
+    import jax.numpy as jnp
+
+    int(pipeline_sum(values))  # compile + warmup
+    best = float("inf")
+    for k in range(1, calls + 1):
+        v = values + jnp.uint64(k)
+        t0 = time.perf_counter()
+        int(pipeline_sum(v))
+        best = min(best, time.perf_counter() - t0)
     if subtract_rtt:
         import jax
 
         if jax.default_backend() not in ("cpu",):
-            dt -= 0.028
-    assert out == ref
-    return max(dt, 1e-9) / iters
+            best -= 0.028
+    return max(best, 1e-9) / iters
 
 
 def measure_host(fn, iters: int):

@@ -22,8 +22,12 @@ def main(lg_n=13, width=135, cap_height=4):
     cols = jnp.asarray(
         rng.integers(0, (1 << 64) - (1 << 32), size=(width, n), dtype=np.uint64))
 
+    k = [0]
+
     def build():
-        t = NaturalMerkleTree(cols, cap_height)
+        # perturb per call: the axon runtime memoizes identical executions
+        k[0] += 1
+        t = NaturalMerkleTree(cols + jnp.uint64(k[0]), cap_height)
         return t.cap  # forces the device computation + cap fetch
 
     dt = measure_host(build, 3)
