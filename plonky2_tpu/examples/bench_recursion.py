@@ -124,7 +124,8 @@ def _phase_dict(timing: TimingTree) -> dict:
 
 def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool = True,
               repeats: int = 0, lookup_type: int = 0,
-              warm_before_outer: bool = False, on_warm=None, time_left=None):
+              warm_before_outer: bool = False, on_warm=None, time_left=None,
+              batch: int = 0, batch_threads: int = 2):
     """Chain of three proofs: inner 2^size -> middle -> outer.
 
     lookup_type selects the inner circuit as in the reference CLI
@@ -194,6 +195,19 @@ def run_chain(size: int = 12, config: CircuitConfig | None = None, verbose: bool
         if verbose:
             print(f"steady-state recursive prove: {best:.2f}s "
                   f"({1.0/best:.2f} proofs/s)", flush=True)
+        if batch:
+            # batched/pipelined throughput mode (the reference CLI's
+            # --threads sweep analog, bench_recursion.rs:372-393)
+            t0 = time.time()
+            proofs = middle_data["data"].prove_many(
+                [pw] * batch, threads=batch_threads)
+            dt = (time.time() - t0) / batch
+            middle_data["data"].verify(proofs[-1])
+            timings["batched_prove"] = dt
+            if verbose:
+                print(f"batched throughput (K={batch}, "
+                      f"threads={batch_threads}): {dt:.3f}s/proof "
+                      f"({1.0/dt:.2f} proofs/s)", flush=True)
 
     if repeats and warm_before_outer:
         warm_repeats()
@@ -224,16 +238,25 @@ def main():
     p.add_argument("--lookup_type", type=int, default=0,
                    help="0 = noops only, 1 = one lookup, 2 = 515 lookups "
                         "(reference bench_recursion.rs:70-74)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="also measure batched throughput: prove_many over "
+                        "K warm middle-layer witnesses (the reference "
+                        "--threads sweep analog)")
+    p.add_argument("--batch-threads", type=int, default=2,
+                   help="dispatch threads for --batch")
     p.add_argument("-v", "--verbose", action="count", default=1,
                    help="-v info (default), -vv debug timing trees "
                         "(reference bench_recursion.rs:354-364)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args()
+    if args.batch and not args.repeats:
+        args.repeats = 1  # the batch measurement runs with the warm repeats
     level = (logging.WARNING if args.quiet
              else logging.DEBUG if args.verbose >= 2 else logging.INFO)
     logging.basicConfig(level=level, format="%(levelname).1s %(name)s: %(message)s")
     run_chain(args.size, repeats=args.repeats, lookup_type=args.lookup_type,
-              verbose=not args.quiet)
+              verbose=not args.quiet, batch=args.batch,
+              batch_threads=args.batch_threads)
     print("bench_recursion chain verified")
 
 
