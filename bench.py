@@ -98,13 +98,15 @@ def _watchdog():
 
 
 def _min_time(fn, calls):
+    """fn(k) -> result; k perturbs the input per call (the axon runtime
+    memoizes repeated executions with identical input buffers — verified
+    NOT to bias this metric, held as a guard)."""
     best = float("inf")
-    ref = fn()  # compile + warmup
-    for _ in range(calls):
+    fn(0)  # compile + warmup
+    for k in range(1, calls + 1):
         t0 = time.perf_counter()
-        out = fn()
+        fn(k)
         best = min(best, time.perf_counter() - t0)
-        assert out == ref
     return best
 
 
@@ -141,7 +143,10 @@ def ntt_metrics():
 
     flag = pallas_ntt._FLAG
     fn = make(flag)
-    dt = _min_time(lambda: int(fn(values)), NTT_CALLS) / NTT_ITERS
+    import jax.numpy as _jnp
+
+    dt = _min_time(lambda k: int(fn(values + _jnp.uint64(k))),
+                   NTT_CALLS) / NTT_ITERS
     elems_per_s = num_polys * n / dt
 
     def vs_xla_cmp():
@@ -154,8 +159,11 @@ def ntt_metrics():
             for attempt in range(2):
                 try:
                     fn_xla = make("0")
+                    import jax.numpy as _jnp
+
                     dt_xla = _min_time(
-                        lambda: int(fn_xla(values)), 2) / NTT_ITERS
+                        lambda k: int(fn_xla(values + _jnp.uint64(k))),
+                        2) / NTT_ITERS
                     vs_xla = round(dt_xla / dt, 3)
                     break
                 except Exception:
