@@ -46,7 +46,11 @@ _SUBLANES = int(os.environ.get("PLONKY2_TPU_PALLAS_SUBLANES", "8"))
 # chip at prover sizes (degree 2^12 circuits four-step into lg_m = 6..8
 # factors; the XLA butterfly path there cost ~3x in the warm-prove chain).
 _MIN_LG = 6
-_MAX_LG = 11
+# lg 11 tiles exceed v5e VMEM (measured on the inner-2^18 chain: the
+# unrolled stage chain wants 154M of the 128M budget); those factors take
+# the XLA butterfly path. The n=2^20 pipeline four-steps into lg 10+10 and
+# is unaffected.
+_MAX_LG = 10
 # "auto": on when running on real TPU; "1": always (native); "0": never.
 _FLAG = os.environ.get("PLONKY2_TPU_PALLAS", "auto")
 # Stages 1..6 twiddles are powers of two (2 has order 192 mod p; the order-64
@@ -506,7 +510,10 @@ def _four_step_twiddle_planes(lg_n: int, lg_a: int, inverse: bool = False,
 def fourstep_supported(lg_n: int, B: int) -> bool:
     lg_a = (lg_n + 1) // 2
     lg_b = lg_n - lg_a
-    if not (9 <= lg_b <= lg_a <= 12):
+    # lg_a <= 10: the lg-11 DIF kernel's register spill slots alone need
+    # 104M of the v5e's 128M VMEM (measured OOM on the inner-2^18 chain,
+    # total 154M); larger factors fall back to the per-phase path.
+    if not (9 <= lg_b <= lg_a <= 10):
         return False
     s1 = _sublanes_for(lg_a)
     s2 = _sublanes_for(lg_b)
